@@ -1,0 +1,100 @@
+"""Public filter API — the analogue of the AviSynth registration surface.
+
+Replicates the two script functions the reference registers (reference
+src/SangNom2.cpp:474-484):
+
+    SangNom2(clip, order, aa, aac, threads, dh, luma, chroma, opt)
+    SangNom(clip, order, aa, opt)            # legacy
+
+with the factories' exact parameter defaults and validation rules, including
+error strings (reference Create_SangNom2, src/SangNom2.cpp:399-435 and
+Create_SangNom, src/SangNom2.cpp:437-472).
+
+Documented quirks carried over or fixed:
+  * the reference's opt error string says "-1..2" while the accepted range is
+    -1..1 (src/SangNom2.cpp:419-420) — string replicated verbatim.
+  * the legacy SangNom factory in the reference reads out-of-bounds argument
+    slots (src/SangNom2.cpp:443-444, 462-470, SURVEY.md §2 quirk 4); this
+    framework implements the *documented* legacy surface instead:
+    order remapped {0 -> 2, 1 -> 1, 2 -> 0} (README.md:70-74, ord[] at
+    src/SangNom2.cpp:441, 463), aac fixed to 0.
+  * `threads` is accepted and ignored, as in the reference (README.md:40-41);
+    frame parallelism is `vmap`/sharding instead of host threads.
+"""
+
+from __future__ import annotations
+
+from sangnom_tpu.core.clip import Clip
+from sangnom_tpu.ops.sangnom import sangnom2_op
+
+
+class SangNomError(ValueError):
+    """Parameter/format validation failure (the analogue of
+    env->ThrowError in the reference factories)."""
+
+
+def _validate(name: str, clip: Clip, order: int, aa: int, aac: int, opt: int) -> None:
+    fmt = clip.format
+    # reference src/SangNom2.cpp:407-422 (SangNom2) / 446-459 (SangNom)
+    if fmt.is_rgb or not fmt.planar:
+        raise SangNomError(f"{name}: clip must be in Y/YUV planar format.")
+    if clip.height % 2 != 0:
+        raise SangNomError(f"{name}: height must be even.")
+    if fmt.is_420 and clip.height % 4:
+        raise SangNomError(f"{name}: height must be mod4.")
+    if order < 0 or order > 2:
+        raise SangNomError(f"{name}: order must be between 0..2.")
+    if aa < 0 or aa > 128:
+        raise SangNomError(f"{name}: aa must be between 0..128.")
+    if aac < 0 or aac > 128:
+        raise SangNomError(f"{name}: aac must be between 0..128.")
+    if opt < -1 or opt > 1:
+        # error string replicated verbatim from the reference, including its
+        # off-by-one upper bound (src/SangNom2.cpp:419-420)
+        raise SangNomError(f"{name}: opt must be between -1..2.")
+
+
+def sangnom2(
+    clip: Clip,
+    order: int = 1,
+    aa: int = 48,
+    aac: int = 0,
+    threads: int = 0,
+    dh: bool = False,
+    luma: bool = True,
+    chroma: bool = True,
+    opt: int = -1,
+) -> Clip:
+    """SangNom2: edge-directed single-field deinterlacer / anti-aliaser.
+
+    Defaults match the reference factory (src/SangNom2.cpp:402-405, 424-434):
+    order=1 (keep top field), aa=48, aac=0, threads=0 (ignored), dh=False,
+    luma=True, chroma=True, opt=-1 (auto backend).
+    """
+    del threads  # accepted-but-ignored dummy (reference README.md:40-41)
+    _validate("SangNom2", clip, order, aa, aac, opt)
+    return sangnom2_op(
+        clip, order=order, aa=aa, aac=aac, dh=dh, luma=luma, chroma=chroma, opt=opt
+    )
+
+
+# Legacy order remap: 0=keep-bottom, 1=keep-top, 2=double-rate
+# (reference README.md:70-74; ord[3] = {2, 1, 0} applied when order != 1,
+# src/SangNom2.cpp:441, 463).
+_LEGACY_ORDER_REMAP = (2, 1, 0)
+
+
+def sangnom(clip: Clip, order: int = 1, aa: int = 48, opt: int = -1) -> Clip:
+    """Legacy SangNom wrapper (documented surface; see module docstring)."""
+    _validate("SangNom", clip, order, aa, 0, opt)
+    new_order = _LEGACY_ORDER_REMAP[order] if order != 1 else 1
+    return sangnom2_op(clip, order=new_order, aa=aa, aac=0, opt=opt)
+
+
+def register_plugin_functions(registry: dict) -> str:
+    """Register the filter functions into a host registry — the analogue of
+    AvisynthPluginInit3's AddFunction calls (reference src/SangNom2.cpp:
+    476-484).  Returns the plugin identifier string, as the reference does."""
+    registry["SangNom2"] = sangnom2
+    registry["SangNom"] = sangnom
+    return "SangNom2"

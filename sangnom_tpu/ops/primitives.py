@@ -1,0 +1,82 @@
+"""Vectorized math primitives shared by the jnp-reference and Pallas kernels.
+
+Each helper replicates one scalar primitive of the reference's C path
+(the parity target, reference src/SangNom2.cpp:25-72) as a whole-array op:
+
+  - `shifted`         <-> loadPixel edge-clamped gather (src/SangNom2.cpp:25-34)
+  - `calc_sangnom`    <-> calculateSangNom (4a+5b-c)>>3 w/ wrap (60-72)
+  - `avg_pair`        <-> avg round-half-up / float half (48-58)
+
+Integer work is carried in int32 lanes (the TPU VPU's native width); the C
+paths' narrower accumulators (i16 for 8-bit) never overflow i16, so i32
+reproduces them exactly.  Wrap-on-cast-to-pixel-type is an `& mask`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from sangnom_tpu.core.formats import VideoFormat
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelSpec:
+    """Static per-dtype kernel configuration (the analogue of the reference's
+    <T, IType> template instantiations, src/SangNom2.cpp:316-327)."""
+
+    is_float: bool
+    mask: int  # wrap mask for the storage type; unused for float
+
+    @property
+    def acc_dtype(self):
+        return jnp.float32 if self.is_float else jnp.int32
+
+    @classmethod
+    def from_format(cls, fmt: VideoFormat) -> "KernelSpec":
+        if fmt.is_float:
+            return cls(is_float=True, mask=0)
+        return cls(is_float=False, mask=(1 << (8 * fmt.component_size)) - 1)
+
+
+def shifted(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Edge-clamped horizontal shift along the last axis:
+    out[..., x] = a[..., clamp(x + k, 0, W-1)]."""
+    if k == 0:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(max(0, -k), max(0, k))]
+    ap = jnp.pad(a, pad, mode="edge")
+    lo = k + max(0, -k)  # position of original index 0+k inside the padded axis
+    return ap[..., lo : lo + a.shape[-1]]
+
+
+def neighborhood(a: jnp.ndarray, radius: int = 3) -> list[jnp.ndarray]:
+    """[a shifted by -radius .. +radius], edge-clamped; one pad, many slices."""
+    w = a.shape[-1]
+    pad = [(0, 0)] * (a.ndim - 1) + [(radius, radius)]
+    ap = jnp.pad(a, pad, mode="edge")
+    return [ap[..., radius + k : radius + k + w] for k in range(-radius, radius + 1)]
+
+
+def calc_sangnom(p1, p2, p3, spec: KernelSpec):
+    """3-tap predictor (4*p1 + 5*p2 - p3)/8 with the C path's exact
+    arithmetic-shift-then-wrap integer semantics
+    (reference src/SangNom2.cpp:60-72)."""
+    if spec.is_float:
+        return (p1 * 4 + p2 * 5 - p3) * jnp.float32(0.125)
+    s = p1 * 4 + p2 * 5 - p3
+    return jnp.right_shift(s, 3) & spec.mask  # arithmetic >>3, wrap to T
+
+
+def avg_pair(a, b, spec: KernelSpec):
+    """Directional average: integer round-half-up (matches (a+b+1)>>1),
+    float exact half (reference src/SangNom2.cpp:48-58)."""
+    if spec.is_float:
+        return (a + b) * jnp.float32(0.5)
+    return jnp.right_shift(a + b + 1, 1) & spec.mask
+
+
+def abs_diff(a, b):
+    """|a - b| in the accumulator domain (reference src/SangNom2.cpp:36-46)."""
+    return jnp.abs(a - b)

@@ -1,0 +1,161 @@
+"""Bit-exact jnp kernel — the numerics ground truth (opt=0 backend).
+
+A pure-functional XLA implementation of the reference's C kernel path
+(reference src/SangNom2.cpp:74-273), dtype-parameterized exactly as the
+reference's template instantiations (u8->i16, u16->i32, f32->f32; here all
+integer work rides int32 lanes, which reproduces the narrower accumulators
+exactly since they never overflow).
+
+Stage structure (reference sangnom_c, src/SangNom2.cpp:259-273):
+  1. prepare  — 9 directional error maps between adjacent kept lines,
+     fully vectorized (shifted-slice arithmetic, no gather loops).
+  2. smooth   — the 3x7 box filter.  CRITICAL: the reference smooths IN
+     PLACE, so each row's vertical 3-sum reads the already-smoothed row
+     above (src/SangNom2.cpp:129-131, 155-157).  That makes it a true scan
+     over rows, realized here as `lax.scan` carrying the previous smoothed
+     row; a plain convolution is NOT bit-exact.
+  3. finalize — 9-way min + fixed-priority select, realized as reverse-order
+     masked overwrites (ties must break by the C if-chain's priority,
+     src/SangNom2.cpp:212-249 — argmin breaks ties differently).
+
+Zero-defined contract (deviation from the reference's uninitialized reads,
+SURVEY.md §2 quirks 1-2): buffer rows 0 and bufH and padding columns
+[w, stride) are zero.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sangnom_tpu.ops.primitives import (
+    KernelSpec,
+    abs_diff,
+    avg_pair,
+    calc_sangnom,
+    neighborhood,
+)
+
+
+def _error_maps(curr, nxt, spec: KernelSpec) -> jnp.ndarray:
+    """The 9 raw directional error maps for each kept-line pair.
+
+    curr/nxt: [..., R, w] accumulator-dtype rows.  Returns [9, ..., R, w]
+    indexed in spatial priority order (reference enum Buffers,
+    src/SangNom2.h:8-20; stores at src/SangNom2.cpp:103-117)."""
+    cm3, cm2, cm1, c0, cp1, cp2, cp3 = neighborhood(curr, 3)
+    nm3, nm2, nm1, n0, np1, np2, np3 = neighborhood(nxt, 3)
+    fwd1 = calc_sangnom(cm1, c0, cp1, spec)
+    fwd2 = calc_sangnom(np1, n0, nm1, spec)
+    bwd1 = calc_sangnom(cp1, c0, cm1, spec)
+    bwd2 = calc_sangnom(nm1, n0, np1, spec)
+    return jnp.stack(
+        [
+            abs_diff(cm3, np3),  # 0 ADIFF_M3_P3
+            abs_diff(cm2, np2),  # 1 ADIFF_M2_P2
+            abs_diff(cm1, np1),  # 2 ADIFF_M1_P1
+            abs_diff(fwd1, fwd2),  # 3 SG_FORWARD
+            abs_diff(c0, n0),  # 4 ADIFF_P0_M0
+            abs_diff(bwd1, bwd2),  # 5 SG_REVERSE
+            abs_diff(cp1, nm1),  # 6 ADIFF_P1_M1
+            abs_diff(cp2, nm2),  # 7 ADIFF_P2_M2
+            abs_diff(cp3, nm3),  # 8 ADIFF_P3_M3
+        ]
+    )
+
+
+def _hbox7(line: jnp.ndarray) -> jnp.ndarray:
+    """7-tap horizontal box sum with taps edge-clamped at the padded stride
+    (reference src/SangNom2.cpp:141-152: loadPixel against bufferStride)."""
+    t = neighborhood(line, 3)
+    # same left-to-right association as the C expression (float exactness)
+    s = t[0]
+    for k in range(1, 7):
+        s = s + t[k]
+    return s
+
+
+def smooth_scan(raw: jnp.ndarray, spec: KernelSpec) -> jnp.ndarray:
+    """The recursive 3x7 smoothing over buffer rows 1..bufH-1.
+
+    raw: [9, bufH+1, S] zero-padded raw error maps (rows 0 and bufH zero).
+    Returns smoothed rows as [bufH-1, 9, S] (time-major, row b=1..bufH-1).
+    """
+    bufH = raw.shape[1] - 1
+
+    def step(prev_sm, xs):
+        rb, rb1 = xs  # raw row b, raw row b+1 — each [9, S]
+        line = prev_sm + rb + rb1  # vertical 3-sum; row b-1 already smoothed
+        h = _hbox7(line)
+        if spec.is_float:
+            sm = h * jnp.float32(1.0 / 16.0)
+        else:
+            sm = jnp.right_shift(h, 4) & spec.mask  # /16 then wrap to T
+        return sm, sm
+
+    xs = (
+        jnp.moveaxis(raw[:, 1:bufH], 1, 0),  # raw rows 1..bufH-1
+        jnp.moveaxis(raw[:, 2 : bufH + 1], 1, 0),  # raw rows 2..bufH
+    )
+    init = jnp.zeros(raw.shape[:1] + raw.shape[2:], raw.dtype)  # smoothed row 0
+    _, sm = jax.lax.scan(step, init, xs)
+    return sm
+
+
+def interpolate_field(
+    kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int
+) -> jnp.ndarray:
+    """Interpolate the interior missing lines from the kept field.
+
+    kept: [bufH, w] in the accumulator dtype (int32 or float32).
+    aaf: pre-scaled threshold as the kernel sees it (int or float32).
+    stride: padded buffer stride in elements (luma-derived, SURVEY.md §2 q6).
+    Returns [bufH-1, w] interpolated lines in the accumulator dtype,
+    already wrapped to the storage range.
+    """
+    bufH, w = kept.shape
+    if bufH < 2:
+        return jnp.zeros((0, w), kept.dtype)
+
+    curr, nxt = kept[:-1], kept[1:]  # kept pairs for buffer rows 1..bufH-1
+
+    # stage 1: prepare (reference src/SangNom2.cpp:74-124)
+    raw = _error_maps(curr, nxt, spec)  # [9, bufH-1, w]
+    raw = jnp.pad(raw, ((0, 0), (1, 1), (0, stride - w)))  # zero-defined pool
+
+    # stage 2: smooth (reference src/SangNom2.cpp:126-159)
+    sm = smooth_scan(raw, spec)  # [bufH-1, 9, S]
+    bufs = jnp.moveaxis(sm[..., :w], 1, 0)  # [9, bufH-1, w]
+
+    # stage 3: finalize (reference src/SangNom2.cpp:161-257)
+    cm3, cm2, cm1, c0, cp1, cp2, cp3 = neighborhood(curr, 3)
+    nm3, nm2, nm1, n0, np1, np2, np3 = neighborhood(nxt, 3)
+    fwd1 = calc_sangnom(cm1, c0, cp1, spec)
+    fwd2 = calc_sangnom(np1, n0, nm1, spec)
+    bwd1 = calc_sangnom(cp1, c0, cm1, spec)
+    bwd2 = calc_sangnom(nm1, n0, np1, spec)
+
+    mn = jnp.min(bufs, axis=0)
+
+    # Reverse-priority masked overwrites: the LAST write wins, so writes run
+    # from the lowest-priority direction (buf0) up to the vertical/threshold
+    # case — the same trick the reference's SIMD path uses
+    # (reference src/SangNom2_SSE2.cpp:1032-1058, "write output in reverse
+    # order"), exactly matching the C if-chain priority
+    # (src/SangNom2.cpp:212-249).
+    res = avg_pair(cm3, np3, spec)  # buf0 ADIFF_M3_P3 (lowest priority)
+    for idx, val in (
+        (8, avg_pair(cp3, nm3, spec)),  # ADIFF_P3_M3
+        (1, avg_pair(cm2, np2, spec)),  # ADIFF_M2_P2
+        (7, avg_pair(cp2, nm2, spec)),  # ADIFF_P2_M2
+        (2, avg_pair(cm1, np1, spec)),  # ADIFF_M1_P1
+        (6, avg_pair(cp1, nm1, spec)),  # ADIFF_P1_M1
+        (3, avg_pair(fwd1, fwd2, spec)),  # SG_FORWARD
+        (5, avg_pair(bwd1, bwd2, spec)),  # SG_REVERSE
+    ):
+        res = jnp.where(bufs[idx] == mn, val, res)
+    # highest priority: vertical if it ties the min OR the min exceeds aaf
+    # (reference src/SangNom2.cpp:214-217)
+    aaf_c = jnp.asarray(aaf, kept.dtype)
+    res = jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
+    return res

@@ -1,0 +1,176 @@
+"""Frame orchestration: field selection, plane dispatch, assembly, batching.
+
+The functional equivalent of the reference's `GetFrame` (reference
+src/SangNom2.cpp:332-397): pick the kept field per `order`, copy it through,
+interpolate the missing lines, duplicate the one uninterpolatable boundary
+line, honor the `luma`/`chroma` plane masks and `dh` height doubling — but as
+a pure clip -> clip transform, `vmap`-batched over frames so a whole clip is
+one compiled XLA program.
+
+Backend dispatch (the analogue of the reference's CPUID/opt member-fn-pointer
+selection, src/SangNom2.cpp:312-329):
+  opt = -1  auto: fused Pallas kernel on TPU, jnp reference elsewhere
+  opt =  0  jnp reference path (the parity target, like the reference's C)
+  opt =  1  fused Pallas kernel (like the reference's SSE2; here bit-exact
+            to opt=0 by construction — the reference's two paths genuinely
+            diverge at numeric extremes, SURVEY.md §2 quirk 3)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Union
+
+import jax
+import jax.numpy as jnp
+
+from sangnom_tpu.core.clip import Clip
+from sangnom_tpu.core.formats import VideoFormat
+from sangnom_tpu.core.geometry import (
+    aaf_as_pixel,
+    buffer_stride_elems,
+    scaled_aa_thresholds,
+)
+from sangnom_tpu.ops import reference as ref_backend
+from sangnom_tpu.ops.primitives import KernelSpec
+
+Offset = Union[int, jax.Array]
+
+
+def _interleave_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """rows (a0, b0, a1, b1, ...) — the field weave."""
+    h, w = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * h, w)
+
+
+def _pick_backend(opt: int) -> Callable:
+    if opt == 0:
+        return ref_backend.interpolate_field
+    # Lazy import: the Pallas module needs a TPU-capable lowering only at
+    # trace time; opt=-1 on non-TPU backends falls back to the jnp path.
+    from sangnom_tpu.ops import pallas_kernel
+
+    if opt == 1:
+        return pallas_kernel.interpolate_field
+    # auto
+    if jax.default_backend() == "tpu":
+        return pallas_kernel.interpolate_field
+    return ref_backend.interpolate_field
+
+
+def deinterlace_plane(
+    src: jnp.ndarray,
+    offset: Offset,
+    dh: bool,
+    aaf,
+    spec: KernelSpec,
+    stride: int,
+    interp_fn: Callable,
+) -> jnp.ndarray:
+    """One plane of one frame: [h_src, w] -> [h_out, w].
+
+    Mirrors the per-plane body of GetFrame (reference src/SangNom2.cpp:
+    361-393): kept-field copy, boundary-line duplication, in-place kernel —
+    realized as functional gathers + one interleave.
+    """
+    h_src, w = src.shape
+    h_out = 2 * h_src if dh else h_src
+    bufH = h_out // 2
+    static_offset = isinstance(offset, int)
+
+    if dh:
+        kept = src  # dh: the whole source is the kept field
+        # (reference src/SangNom2.cpp:361-366)
+    elif static_offset:
+        kept = src[offset::2]
+    else:
+        rows = offset + 2 * jnp.arange(bufH)
+        kept = jnp.take(src, rows, axis=0)
+
+    kept_acc = kept.astype(spec.acc_dtype)
+    interp = interp_fn(kept_acc, aaf, spec, stride)
+    interp = interp.astype(src.dtype)
+
+    # Assembly + boundary duplication (reference src/SangNom2.cpp:379-391):
+    # offset==0: bottom missing line := last kept line;
+    # offset==1: top missing line := first kept line.
+    if static_offset:
+        if offset == 0:
+            return _interleave_rows(kept, jnp.concatenate([interp, kept[-1:]]))
+        return _interleave_rows(jnp.concatenate([kept[:1], interp]), kept)
+    out0 = _interleave_rows(kept, jnp.concatenate([interp, kept[-1:]]))
+    out1 = _interleave_rows(jnp.concatenate([kept[:1], interp]), kept)
+    return jnp.where(offset == 0, out0, out1)
+
+
+def field_offsets(clip: Clip, order: int) -> Offset:
+    """Per-frame kept-field offset (reference src/SangNom2.cpp:336-341):
+    order=0 consults per-frame parity (GetParity), 1 keeps top, 2 bottom."""
+    if order == 1:
+        return 0
+    if order == 2:
+        return 1
+    return jnp.where(clip.parity_array(), 0, 1)  # [N] traced offsets
+
+
+@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "opt", "fmt"))
+def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma, opt):
+    interp_fn = _pick_backend(opt)
+    spec = KernelSpec.from_format(fmt)
+    aafs = scaled_aa_thresholds(aa, aac, fmt)
+    luma_w = planes[0].shape[2]
+    stride = buffer_stride_elems(luma_w, fmt.component_size)
+    process = [luma, chroma, chroma]
+
+    if order == 0:
+        offsets = jnp.where(parity, 0, 1)
+    else:
+        offsets = 0 if order == 1 else 1
+
+    out = []
+    for i, p in enumerate(planes):
+        if i >= 3:
+            # Alpha plane: passthrough; under dh, line-double by repetition.
+            # (Deviation: the reference caps at 3 planes and leaves dst
+            # alpha uninitialized, src/SangNom2.cpp:347.)
+            out.append(jnp.repeat(p, 2, axis=1) if dh else p)
+            continue
+        if not dh and not process[i]:
+            # Unprocessed plane: verbatim copy (reference src/SangNom2.cpp:
+            # 369-374).  dh=True forces processing of every plane (361-366,
+            # SURVEY.md §2 quirk 7), so no skip in that case.
+            out.append(p)
+            continue
+        aaf = aaf_as_pixel(aafs[i], fmt)
+        fn = partial(
+            deinterlace_plane,
+            dh=dh,
+            aaf=aaf,
+            spec=spec,
+            stride=stride,
+            interp_fn=interp_fn,
+        )
+        if isinstance(offsets, int):
+            out.append(jax.vmap(lambda s: fn(s, offsets))(p))
+        else:
+            out.append(jax.vmap(fn)(p, offsets))
+    return tuple(out)
+
+
+def sangnom2_op(
+    clip: Clip,
+    order: int = 1,
+    aa: int = 48,
+    aac: int = 0,
+    dh: bool = False,
+    luma: bool = True,
+    chroma: bool = True,
+    opt: int = -1,
+) -> Clip:
+    """The validated, jit-compiled filter op. Parameters are pre-validated by
+    the API layer (sangnom_tpu.api)."""
+    parity = clip.parity_array() if order == 0 else jnp.zeros((clip.num_frames,), jnp.bool_)
+    planes = _sangnom2_jit(
+        clip.planes, parity, clip.format, order, aa, aac, dh, luma, chroma, opt
+    )
+    return clip.with_planes(planes)
