@@ -1,0 +1,135 @@
+"""Native scalar oracle: clean-room C++ ground truth + baseline timer.
+
+The reference validates itself only by its dual C/SSE2 backends (SURVEY.md
+§4); this framework's oracle plays that role: an independent, natively
+compiled scalar implementation of the numerics contract, bound via ctypes.
+It is also the measurable stand-in for the reference's single-core C path
+when establishing the performance baseline (BASELINE.md), since the
+reference publishes no numbers and needs an AviSynth host to run.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from sangnom_tpu.core.formats import VideoFormat
+from sangnom_tpu.core.geometry import buffer_stride_elems
+
+_SRC = Path(__file__).parent / "oracle.cpp"
+_BUILD_DIR = Path(__file__).parent / "_build"
+_LIB = _BUILD_DIR / "liboracle.so"
+
+_lib: ctypes.CDLL | None = None
+
+
+def _compile() -> Path:
+    _BUILD_DIR.mkdir(exist_ok=True)
+    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _LIB
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        str(_SRC),
+        "-o",
+        str(_LIB),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _LIB
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(_compile()))
+        for name, ptr_t in (
+            ("sno_deint_u8", ctypes.c_uint8),
+            ("sno_deint_u16", ctypes.c_uint16),
+            ("sno_deint_f32", ctypes.c_float),
+        ):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(ptr_t),
+                ctypes.POINTER(ptr_t),
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_float,
+            ]
+        _lib = lib
+    return _lib
+
+
+_ENTRY = {
+    np.dtype(np.uint8): ("sno_deint_u8", ctypes.c_uint8),
+    np.dtype(np.uint16): ("sno_deint_u16", ctypes.c_uint16),
+    np.dtype(np.float32): ("sno_deint_f32", ctypes.c_float),
+}
+
+
+def deinterlace_plane_oracle(
+    src: np.ndarray, offset: int, dh: bool, aaf: float, stride: int
+) -> np.ndarray:
+    """One plane through the native oracle. src: [h_src, w]; returns
+    [h_out, w] in the same dtype. ``aaf`` is the pre-scaled float threshold
+    (truncation to the pixel type happens natively, matching the reference's
+    float-as-T argument pass, src/SangNom2.cpp:272)."""
+    lib = _load()
+    name, ptr_t = _ENTRY[src.dtype]
+    h_src, w = src.shape
+    h_out = 2 * h_src if dh else h_src
+    src = np.ascontiguousarray(src)
+    dst = np.zeros((h_out, w), dtype=src.dtype)
+    getattr(lib, name)(
+        src.ctypes.data_as(ctypes.POINTER(ptr_t)),
+        dst.ctypes.data_as(ctypes.POINTER(ptr_t)),
+        w,
+        h_src,
+        stride,
+        int(offset),
+        int(dh),
+        ctypes.c_float(aaf),
+    )
+    return dst
+
+
+def sangnom2_frame_oracle(
+    planes: list[np.ndarray],
+    fmt: VideoFormat,
+    order: int = 1,
+    aa: int = 48,
+    aac: int = 0,
+    dh: bool = False,
+    luma: bool = True,
+    chroma: bool = True,
+    frame_parity: bool = True,
+) -> list[np.ndarray]:
+    """Full frame through the native oracle (same orchestration contract as
+    the framework: GetFrame semantics, reference src/SangNom2.cpp:332-397)."""
+    from sangnom_tpu.core.geometry import scaled_aa_thresholds
+
+    if order == 0:
+        offset = 0 if frame_parity else 1
+    else:
+        offset = 0 if order == 1 else 1
+    aafs = scaled_aa_thresholds(aa, aac, fmt)
+    stride = buffer_stride_elems(planes[0].shape[1], fmt.component_size)
+    process = [luma, chroma, chroma]
+    out = []
+    for i, p in enumerate(planes):
+        if i >= 3 or (not dh and not process[i]):
+            out.append(p.copy())
+            continue
+        out.append(deinterlace_plane_oracle(p, offset, dh, aafs[i], stride))
+    return out
