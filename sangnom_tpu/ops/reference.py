@@ -159,3 +159,15 @@ def interpolate_field(
     aaf_c = jnp.asarray(aaf, kept.dtype)
     res = jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
     return res
+
+
+def interpolate_field_batch(
+    kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int
+) -> jnp.ndarray:
+    """Batched-over-frames variant: [N, bufH, w] -> [N, bufH-1, w].
+
+    The frame batch is the framework's analogue of the reference's
+    MT_MULTI_INSTANCE frame parallelism (reference src/SangNom2.h:63-66) —
+    embarrassingly parallel, mapped onto VPU lanes via vmap.
+    """
+    return jax.vmap(lambda k: interpolate_field(k, aaf, spec, stride))(kept)

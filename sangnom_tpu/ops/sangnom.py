@@ -37,70 +37,68 @@ from sangnom_tpu.ops.primitives import KernelSpec
 Offset = Union[int, jax.Array]
 
 
-def _interleave_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """rows (a0, b0, a1, b1, ...) — the field weave."""
-    h, w = a.shape
-    return jnp.stack([a, b], axis=1).reshape(2 * h, w)
-
-
 def _pick_backend(opt: int) -> Callable:
+    """Returns the batched interpolation kernel for the requested backend."""
     if opt == 0:
-        return ref_backend.interpolate_field
-    # Lazy import: the Pallas module needs a TPU-capable lowering only at
-    # trace time; opt=-1 on non-TPU backends falls back to the jnp path.
+        return ref_backend.interpolate_field_batch
     from sangnom_tpu.ops import pallas_kernel
 
     if opt == 1:
-        return pallas_kernel.interpolate_field
-    # auto
+        return pallas_kernel.interpolate_field_batch
+    # auto: the fused Pallas kernel is compiled on TPU and interpreted
+    # elsewhere — prefer the plain XLA path off-TPU
     if jax.default_backend() == "tpu":
-        return pallas_kernel.interpolate_field
-    return ref_backend.interpolate_field
+        return pallas_kernel.interpolate_field_batch
+    return ref_backend.interpolate_field_batch
 
 
-def deinterlace_plane(
+def deinterlace_plane_batch(
     src: jnp.ndarray,
-    offset: Offset,
+    offsets: Offset,
     dh: bool,
     aaf,
     spec: KernelSpec,
     stride: int,
     interp_fn: Callable,
 ) -> jnp.ndarray:
-    """One plane of one frame: [h_src, w] -> [h_out, w].
+    """One plane, all frames: [N, h_src, w] -> [N, h_out, w].
 
     Mirrors the per-plane body of GetFrame (reference src/SangNom2.cpp:
     361-393): kept-field copy, boundary-line duplication, in-place kernel —
-    realized as functional gathers + one interleave.
+    realized as functional gathers + one interleave, batched over frames.
+    `offsets` is a static int (orders 1/2) or a per-frame [N] array
+    (order 0: parity-dependent, reference src/SangNom2.cpp:338).
     """
-    h_src, w = src.shape
+    N, h_src, w = src.shape
     h_out = 2 * h_src if dh else h_src
     bufH = h_out // 2
-    static_offset = isinstance(offset, int)
+    static_offset = isinstance(offsets, int)
 
     if dh:
         kept = src  # dh: the whole source is the kept field
         # (reference src/SangNom2.cpp:361-366)
     elif static_offset:
-        kept = src[offset::2]
+        kept = src[:, offsets::2]
     else:
-        rows = offset + 2 * jnp.arange(bufH)
-        kept = jnp.take(src, rows, axis=0)
+        rows = offsets[:, None] + 2 * jnp.arange(bufH)[None, :]
+        kept = jnp.take_along_axis(src, rows[..., None], axis=1)
 
-    kept_acc = kept.astype(spec.acc_dtype)
-    interp = interp_fn(kept_acc, aaf, spec, stride)
+    interp = interp_fn(kept.astype(spec.acc_dtype), aaf, spec, stride)
     interp = interp.astype(src.dtype)
+
+    def weave(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
+        return jnp.stack([top, bottom], axis=2).reshape(N, h_out, w)
 
     # Assembly + boundary duplication (reference src/SangNom2.cpp:379-391):
     # offset==0: bottom missing line := last kept line;
     # offset==1: top missing line := first kept line.
     if static_offset:
-        if offset == 0:
-            return _interleave_rows(kept, jnp.concatenate([interp, kept[-1:]]))
-        return _interleave_rows(jnp.concatenate([kept[:1], interp]), kept)
-    out0 = _interleave_rows(kept, jnp.concatenate([interp, kept[-1:]]))
-    out1 = _interleave_rows(jnp.concatenate([kept[:1], interp]), kept)
-    return jnp.where(offset == 0, out0, out1)
+        if offsets == 0:
+            return weave(kept, jnp.concatenate([interp, kept[:, -1:]], axis=1))
+        return weave(jnp.concatenate([kept[:, :1], interp], axis=1), kept)
+    out0 = weave(kept, jnp.concatenate([interp, kept[:, -1:]], axis=1))
+    out1 = weave(jnp.concatenate([kept[:, :1], interp], axis=1), kept)
+    return jnp.where((offsets == 0)[:, None, None], out0, out1)
 
 
 def field_offsets(clip: Clip, order: int) -> Offset:
@@ -142,18 +140,12 @@ def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, ch
             out.append(p)
             continue
         aaf = aaf_as_pixel(aafs[i], fmt)
-        fn = partial(
-            deinterlace_plane,
-            dh=dh,
-            aaf=aaf,
-            spec=spec,
-            stride=stride,
-            interp_fn=interp_fn,
+        out.append(
+            deinterlace_plane_batch(
+                p, offsets, dh=dh, aaf=aaf, spec=spec, stride=stride,
+                interp_fn=interp_fn,
+            )
         )
-        if isinstance(offsets, int):
-            out.append(jax.vmap(lambda s: fn(s, offsets))(p))
-        else:
-            out.append(jax.vmap(fn)(p, offsets))
     return tuple(out)
 
 

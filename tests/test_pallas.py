@@ -1,0 +1,59 @@
+"""Pallas fused kernel vs jnp reference backend: bit-exact parity.
+
+On CPU the Pallas kernel runs in interpreter mode (same program, no Mosaic
+compile) — the race/OOB detector for block indexing per SURVEY.md §5; real
+TPU execution is exercised by bench.py and the driver's compile check.
+"""
+
+import numpy as np
+import pytest
+
+from sangnom_tpu import Clip, get_format, sangnom2
+
+from conftest import make_planes
+
+
+def _run(fmt_name, w, h, rng, n=1, **kw):
+    fmt = get_format(fmt_name)
+    frames = [make_planes(rng, w, h, fmt) for _ in range(n)]
+    planes = [np.stack([f[i] for f in frames]) for i in range(fmt.num_planes)]
+    clip = Clip.from_numpy(planes, fmt, parity=kw.pop("parity", None))
+    a = sangnom2(clip, opt=0, **kw)  # jnp reference
+    b = sangnom2(clip, opt=1, **kw)  # fused Pallas
+    for i in range(fmt.num_planes):
+        np.testing.assert_array_equal(
+            np.asarray(a.planes[i]), np.asarray(b.planes[i]), err_msg=f"plane {i}"
+        )
+
+
+@pytest.mark.parametrize(
+    "fmt_name,w,h,kw",
+    [
+        ("GRAY8", 64, 32, dict(order=1)),
+        ("YUV420P8", 48, 24, dict(order=2)),
+        ("YUV420P8", 32, 16, dict(order=1, dh=True)),
+        ("YUV422P10", 40, 20, dict(order=2)),
+        ("GRAY16", 40, 16, dict(order=1, aa=128, aac=64)),
+        ("YUV444PS", 40, 16, dict(order=2, aa=48, aac=48)),
+        ("GRAY8", 31, 8, dict(order=1)),
+        ("GRAY8", 32, 8, dict(order=2)),  # stride == w: taps clamp at edge
+        ("GRAY8", 5, 8, dict(order=1)),
+        ("GRAY8", 130, 10, dict(order=1)),  # stride 160 > 128: lane padding
+    ],
+    ids=lambda v: str(v),
+)
+def test_pallas_matches_reference(rng, fmt_name, w, h, kw):
+    _run(fmt_name, w, h, rng, **kw)
+
+
+def test_pallas_batched_frames(rng):
+    _run("GRAY8", 48, 16, rng, n=5, order=1)
+
+
+def test_pallas_order0_mixed_parity(rng):
+    parity = np.array([True, False, True, False])
+    _run("GRAY8", 32, 16, rng, n=4, order=0, parity=parity)
+
+
+def test_pallas_aa_zero(rng):
+    _run("GRAY8", 32, 16, rng, aa=0, aac=0)
