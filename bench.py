@@ -1,0 +1,102 @@
+"""Headline benchmark: 1080p bob+dh deinterlace frames/sec/chip.
+
+Matches BASELINE.json's metric: YUV420 8-bit, dh height-doubling to 1080p
+(the "bob" configuration), bit-exact 8-bit output verified against the
+native oracle before timing.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is
+measured here: the native scalar oracle (the reference's C/opt=0 path
+stand-in, single core) is timed on the same config and scaled by a
+conservative 6x to estimate the reference's SSE2 path (16-byte vectors over
+1/2-byte samples bound ideal speedup at 16/8x; measured SSE2 filters
+typically land 4-6x over scalar).  ``vs_baseline`` is TPU fps over that
+SSE2 estimate; the north-star target is >= 10.
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+SSE2_OVER_SCALAR = 6.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from sangnom_tpu import Clip, get_format, sangnom2
+    from sangnom_tpu.oracle import sangnom2_frame_oracle
+
+    log("devices:", jax.devices())
+    backend = jax.default_backend()
+
+    fmt = get_format("YUV420P8")
+    rng = np.random.default_rng(7)
+    B = 64
+    planes = [
+        rng.integers(0, 256, (B, 540, 1920)).astype(np.uint8),
+        rng.integers(0, 256, (B, 270, 960)).astype(np.uint8),
+        rng.integers(0, 256, (B, 270, 960)).astype(np.uint8),
+    ]
+    clip = Clip.from_numpy(planes, fmt)
+    kwargs = dict(order=1, aa=48, aac=0, dh=True)
+
+    # --- correctness gate: bit-exact vs the native oracle ------------------
+    out = sangnom2(clip, opt=-1, **kwargs)
+    jax.block_until_ready(out.planes)
+    want = sangnom2_frame_oracle([p[0] for p in planes], fmt, **kwargs)
+    for i in range(3):
+        got = np.asarray(out.planes[i])[0]
+        if not np.array_equal(got, want[i]):
+            log(f"BIT-EXACTNESS FAILURE plane {i}")
+            print(json.dumps({"metric": "1080p_bob_dh_fps_per_chip",
+                              "value": 0.0, "unit": "frames/s",
+                              "vs_baseline": 0.0, "error": "parity"}))
+            sys.exit(1)
+    log("bit-exactness vs native oracle: OK (all planes)")
+
+    # --- TPU throughput ----------------------------------------------------
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = sangnom2(clip, opt=-1, **kwargs)
+        jax.block_until_ready(out.planes)
+    dt = (time.perf_counter() - t0) / iters
+    fps = B / dt
+    log(f"{backend} fused-pallas: {dt*1e3:.2f} ms / {B} frames "
+        f"-> {fps:.0f} frames/s")
+
+    # --- measured baseline: native scalar oracle, single core --------------
+    n_oracle = 3
+    frame = [p[0] for p in planes]
+    t0 = time.perf_counter()
+    for _ in range(n_oracle):
+        sangnom2_frame_oracle(frame, fmt, **kwargs)
+    scalar_fps = n_oracle / (time.perf_counter() - t0)
+    sse2_est = scalar_fps * SSE2_OVER_SCALAR
+    log(f"native scalar oracle: {scalar_fps:.1f} fps "
+        f"-> SSE2 estimate x{SSE2_OVER_SCALAR}: {sse2_est:.1f} fps")
+
+    print(json.dumps({
+        "metric": "1080p_bob_dh_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / sse2_est, 2),
+        "baseline_sse2_est_fps": round(sse2_est, 1),
+        "scalar_oracle_fps": round(scalar_fps, 1),
+        "backend": backend,
+        "batch": B,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -111,9 +111,26 @@ def field_offsets(clip: Clip, order: int) -> Offset:
     return jnp.where(clip.parity_array(), 0, 1)  # [N] traced offsets
 
 
-@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "opt", "fmt"))
-def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma, opt):
-    interp_fn = _pick_backend(opt)
+def sangnom2_impl(
+    planes,
+    parity,
+    fmt: VideoFormat,
+    order: int,
+    aa: int,
+    aac: int,
+    dh: bool,
+    luma: bool,
+    chroma: bool,
+    opt: int,
+    interp_fn: Callable | None = None,
+):
+    """The un-jitted whole-frame-batch transform over raw plane arrays.
+
+    Shared by the single-device jit wrapper below and the sharded wrappers in
+    sangnom_tpu.parallel (which call it inside `shard_map` with a
+    shard-local or halo-exchanging `interp_fn`)."""
+    if interp_fn is None:
+        interp_fn = _pick_backend(opt)
     spec = KernelSpec.from_format(fmt)
     aafs = scaled_aa_thresholds(aa, aac, fmt)
     luma_w = planes[0].shape[2]
@@ -147,6 +164,11 @@ def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, ch
             )
         )
     return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "opt", "fmt"))
+def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma, opt):
+    return sangnom2_impl(planes, parity, fmt, order, aa, aac, dh, luma, chroma, opt)
 
 
 def sangnom2_op(

@@ -1,0 +1,140 @@
+"""Width-sharded interpolation kernel: spatial (context-parallel-style)
+scaling with per-step halo exchange over ICI.
+
+The smoothing recursion propagates horizontal influence 3 columns per row
+(sm[b][x] depends on sm[b-1][x±3], reference src/SangNom2.cpp:129-152), so a
+width shard cannot precompute a fixed halo: it exchanges a 3-column halo of
+the in-flight line with its neighbors at EVERY scan step via `lax.ppermute`
+— the structural analogue of ring/context-parallel halo exchange (SURVEY.md
+§5 "Long-context / sequence parallelism").
+
+Constraints (validated by the caller): the global plane width W must equal
+the buffer stride S (i.e. W % 32 == 0) and divide evenly across the mesh
+axis.  Global edge-clamp semantics are realized by substituting replicated
+edge columns for the missing neighbors of the first/last shard.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sangnom_tpu.ops.primitives import (
+    KernelSpec,
+    abs_diff,
+    avg_pair,
+    calc_sangnom,
+)
+
+
+def _exchange_halo(x: jnp.ndarray, radius: int, axis_name: str) -> jnp.ndarray:
+    """[..., W_loc] -> [..., W_loc + 2*radius]: neighbors' edge columns via
+    ppermute; global boundaries get edge-replication (clamp semantics,
+    reference loadPixel src/SangNom2.cpp:25-34)."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        left = jnp.broadcast_to(x[..., :1], x.shape[:-1] + (radius,))
+        right = jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (radius,))
+        return jnp.concatenate([left, x, right], axis=-1)
+    idx = jax.lax.axis_index(axis_name)
+    # halo from the left neighbor: its rightmost columns travel i -> i+1
+    left_halo = jax.lax.ppermute(
+        x[..., -radius:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    right_halo = jax.lax.ppermute(
+        x[..., :radius], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    edge_l = jnp.broadcast_to(x[..., :1], x.shape[:-1] + (radius,))
+    edge_r = jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (radius,))
+    left_halo = jnp.where(idx == 0, edge_l, left_halo)
+    right_halo = jnp.where(idx == n - 1, edge_r, right_halo)
+    return jnp.concatenate([left_halo, x, right_halo], axis=-1)
+
+
+def _taps7_ext(ext: jnp.ndarray, w_loc: int) -> list[jnp.ndarray]:
+    """Plain shifted slices of a halo-extended array (radius 3)."""
+    return [ext[..., 3 + k : 3 + k + w_loc] for k in range(-3, 4)]
+
+
+def _pair_values(curr_ext, nxt_ext, w_loc, spec):
+    cm3, cm2, cm1, c0, cp1, cp2, cp3 = _taps7_ext(curr_ext, w_loc)
+    nm3, nm2, nm1, n0, np1, np2, np3 = _taps7_ext(nxt_ext, w_loc)
+    fwd1 = calc_sangnom(cm1, c0, cp1, spec)
+    fwd2 = calc_sangnom(np1, n0, nm1, spec)
+    bwd1 = calc_sangnom(cp1, c0, cm1, spec)
+    bwd2 = calc_sangnom(nm1, n0, np1, spec)
+    taps = (cm3, cm2, cm1, c0, cp1, cp2, cp3, nm3, nm2, nm1, n0, np1, np2, np3)
+    return taps, (fwd1, fwd2, bwd1, bwd2)
+
+
+def interpolate_field_width_sharded(
+    kept: jnp.ndarray, aaf, spec: KernelSpec, axis_name: str
+) -> jnp.ndarray:
+    """Shard-local kept field [N, bufH, W_loc] -> [N, bufH-1, W_loc].
+
+    Must run inside `shard_map` with the width axis mapped to ``axis_name``.
+    Bit-exact to the unsharded backends (given W == S globally).
+    """
+    N, bufH, w_loc = kept.shape
+    if bufH < 2:
+        return jnp.zeros((N, 0, w_loc), kept.dtype)
+
+    keptx = _exchange_halo(kept, 3, axis_name)  # one exchange for pixel taps
+    curr_ext, nxt_ext = keptx[:, :-1], keptx[:, 1:]
+    taps, preds = _pair_values(curr_ext, nxt_ext, w_loc, spec)
+    cm3, cm2, cm1, c0, cp1, cp2, cp3, nm3, nm2, nm1, n0, np1, np2, np3 = taps
+    fwd1, fwd2, bwd1, bwd2 = preds
+
+    raw = jnp.stack(
+        [
+            abs_diff(cm3, np3),
+            abs_diff(cm2, np2),
+            abs_diff(cm1, np1),
+            abs_diff(fwd1, fwd2),
+            abs_diff(c0, n0),
+            abs_diff(bwd1, bwd2),
+            abs_diff(cp1, nm1),
+            abs_diff(cp2, nm2),
+            abs_diff(cp3, nm3),
+        ]
+    )  # [9, N, bufH-1, W_loc]
+    raw = jnp.pad(raw, ((0, 0), (0, 0), (1, 1), (0, 0)))  # zero rows 0, bufH
+
+    def step(prev_sm, xs):
+        rb, rb1 = xs  # [9, N, W_loc]
+        line = prev_sm + rb + rb1
+        # per-step 3-column halo exchange: the ICI collective on the
+        # recursion's critical path
+        linex = _exchange_halo(line, 3, axis_name)
+        t = _taps7_ext(linex, w_loc)
+        h = t[0]
+        for tp in t[1:]:
+            h = h + tp
+        if spec.is_float:
+            sm = h * jnp.float32(1.0 / 16.0)
+        else:
+            sm = jnp.right_shift(h, 4) & spec.mask
+        return sm, sm
+
+    xs = (
+        jnp.moveaxis(raw[:, :, 1:bufH], 2, 0),
+        jnp.moveaxis(raw[:, :, 2 : bufH + 1], 2, 0),
+    )
+    init = jnp.zeros((9, N, w_loc), raw.dtype)
+    _, sm = jax.lax.scan(step, init, xs)  # [bufH-1, 9, N, W_loc]
+    bufs = jnp.moveaxis(sm, 0, 2)  # [9, N, bufH-1, W_loc]
+
+    mn = jnp.min(bufs, axis=0)
+    res = avg_pair(cm3, np3, spec)
+    for idx, val in (
+        (8, avg_pair(cp3, nm3, spec)),
+        (1, avg_pair(cm2, np2, spec)),
+        (7, avg_pair(cp2, nm2, spec)),
+        (2, avg_pair(cm1, np1, spec)),
+        (6, avg_pair(cp1, nm1, spec)),
+        (3, avg_pair(fwd1, fwd2, spec)),
+        (5, avg_pair(bwd1, bwd2, spec)),
+    ):
+        res = jnp.where(bufs[idx] == mn, val, res)
+    aaf_c = jnp.asarray(aaf, kept.dtype)
+    return jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)

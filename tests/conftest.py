@@ -7,12 +7,21 @@ multi-chip sharding paths are validated here exactly as the driver's
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env presets "axon"
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# jax_platforms to "axon,cpu" regardless of the env var — pin it back so
+# tests really run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
