@@ -51,7 +51,10 @@ def main() -> None:
     kwargs = dict(order=1, aa=48, aac=0, dh=True)
 
     # --- correctness gate: bit-exact vs the native oracle ------------------
-    out = sangnom2(clip, opt=-1, **kwargs)
+    # (a single-frame clip: fetching full 64-frame planes through the device
+    # tunnel costs minutes and proves nothing more)
+    clip1 = Clip.from_numpy([p[:1] for p in planes], fmt)
+    out = sangnom2(clip1, opt=-1, **kwargs)
     jax.block_until_ready(out.planes)
     want = sangnom2_frame_oracle([p[0] for p in planes], fmt, **kwargs)
     for i in range(3):
@@ -65,15 +68,31 @@ def main() -> None:
     log("bit-exactness vs native oracle: OK (all planes)")
 
     # --- TPU throughput ----------------------------------------------------
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = sangnom2(clip, opt=-1, **kwargs)
-        jax.block_until_ready(out.planes)
-    dt = (time.perf_counter() - t0) / iters
+    # Methodology: under the axon tunnel, block_until_ready can return
+    # before remote execution completes; a device-side checksum fetched at
+    # the end of each trial forces the full chain.  Best of 3 trials.
+    import jax.numpy as jnp
+
+    def checksum(planes):
+        s = jnp.zeros((), jnp.float32)
+        for p in planes:
+            s = s + jnp.sum(p.astype(jnp.float32))
+        return s
+
+    iters = 10
+    _ = float(checksum(sangnom2(clip, opt=-1, **kwargs).planes))  # warm
+    dt = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        acc = []
+        for _ in range(iters):
+            out = sangnom2(clip, opt=-1, **kwargs)
+            acc.append(checksum(out.planes))
+        np.asarray(jnp.stack(acc))  # forces every iteration
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     fps = B / dt
     log(f"{backend} fused-pallas: {dt*1e3:.2f} ms / {B} frames "
-        f"-> {fps:.0f} frames/s")
+        f"-> {fps:.0f} frames/s (best of 3 trials, checksum-forced)")
 
     # --- measured baseline: native scalar oracle, single core --------------
     n_oracle = 3

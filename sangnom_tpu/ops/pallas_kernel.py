@@ -5,25 +5,35 @@ reference src/SangNom2.cpp:259-273) into ONE kernel so the 9 error maps never
 touch HBM.  The TPU grid walks kept-line pairs top to bottom — TPU grids
 execute sequentially on a core, so the in-place vertical smoothing recursion
 (SURVEY.md §2 quirk 1; reference src/SangNom2.cpp:129-131, 155-157) becomes
-the grid dimension, with the previous smoothed row and previous raw error
-maps carried in VMEM scratch.  Per grid step t (buffer row b = t+1):
+the grid dimension, with VMEM scratch carrying between steps:
 
-    raw[b+1]   = error_maps(kept[b], kept[b+1])        (zero past the end)
+  sm_ref    smoothed row b-1            raw_ref   raw error maps of row b
+  pair_ref  the 14 clamped pixel taps + 4 predictor values of kept pair
+            (b-1, b) — computed once per pair and reused by the NEXT step's
+            finalize instead of recomputing (the reference recomputes,
+            src/SangNom2.cpp:176-195; same values either way)
+
+Per grid step t (buffer row b = t+1):
+
+    vals       = pair_values(kept[b], kept[b+1])     # taps + predictors
+    raw[b+1]   = error_maps(vals)                    # zero past the end
     sm[b]      = hbox7_clamped(sm[b-1] + raw[b] + raw[b+1]) / 16
-    out[b-1]   = finalize(kept[b-1], kept[b], sm[b])
-    carry      <- sm[b], raw[b+1]
+    out[b-1]   = finalize(pair_ref, sm[b])           # previous step's vals
+    carry     <- sm[b], raw[b+1], vals
 
-HBM traffic per frame is just the kept field in (3 streamed row views) and
-the interpolated field out — ~11 raster passes in the reference collapse to
-~1.3.  A frame batch rides the sublane dimension so every VPU op is [B, W].
+The kernel is VPU-compute-bound (measured flat across batch/chunk sizes), so
+the horizontal 7-tap box sum — the dominant op count, 9 maps wide — runs as
+a hierarchical rotate tree on the bulk (4 rotates instead of 6 clamped
+shifts) with exact edge-clamped values recomputed on one 128-lane slab per
+side and merged back; bit-exactness is unchanged because only columns whose
+taps never cross an edge use the bulk path.
 
-Bit-exact to the jnp reference path by construction: identical primitives
-(sangnom_tpu.ops.primitives), identical clamp geometry — taps clamp at the
-plane width w for pixel reads (reference loadPixel, src/SangNom2.cpp:25-34)
-and at the padded buffer stride S for the smoothing pass (reference
-src/SangNom2.cpp:141-150), with columns >= S never feeding back (the clamp
-keeps all reads below S), so the kernel can compute on a 128-lane-aligned
-width S_pad >= S with garbage tolerated beyond S.
+Clamp geometry matches the reference exactly: pixel taps clamp at the plane
+width w (loadPixel, reference src/SangNom2.cpp:25-34), smoothing taps clamp
+at the padded buffer stride S (reference src/SangNom2.cpp:141-150).  Columns
+>= S never feed back (the clamp keeps all reads below S), so the kernel
+computes on a 128-lane-aligned width S_pad >= S with garbage tolerated
+beyond S.
 """
 
 from __future__ import annotations
@@ -46,15 +56,21 @@ def _col_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
+def _rot(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Circular lane rotate: out[..., x] = a[..., (x + k) mod S]."""
+    kk = k % a.shape[-1]
+    if kk == 0:
+        return a
+    return jnp.concatenate([a[..., kk:], a[..., :kk]], axis=-1)
+
+
 def _shift_clamped(a: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
     """tap[x] = a[..., clamp(x + k, 0, n - 1)] for x < n (values for x >= n
-    are bounded but unspecified).  Static-shape roll + edge select — the
-    vectorized loadPixel (reference src/SangNom2.cpp:25-34)."""
+    are bounded but unspecified).  Rotate + edge select — the vectorized
+    loadPixel (reference src/SangNom2.cpp:25-34)."""
     if k == 0:
         return a
-    S = a.shape[-1]
-    kk = k % S
-    rolled = jnp.concatenate([a[..., kk:], a[..., :kk]], axis=-1)
+    rolled = _rot(a, k)
     col = _col_iota(a.shape)
     if k > 0:
         return jnp.where(col >= n - k, a[..., n - 1 : n], rolled)
@@ -65,17 +81,67 @@ def _taps7(a: jnp.ndarray, n: int) -> list[jnp.ndarray]:
     return [_shift_clamped(a, k, n) for k in range(-3, 4)]
 
 
-def _error_maps(c, n, spec: KernelSpec, w: int) -> jnp.ndarray:
-    """9 raw error maps for one kept-line pair; [9, B, S_pad] with columns
-    >= w zeroed (the zero-defined padding contract, SURVEY.md §2 quirk 2).
-    Map order is spatial priority (reference enum Buffers, src/SangNom2.h:
-    8-20; stores at src/SangNom2.cpp:103-117)."""
-    cm3, cm2, cm1, c0, cp1, cp2, cp3 = _taps7(c, w)
-    nm3, nm2, nm1, n0, np1, np2, np3 = _taps7(n, w)
-    fwd1 = calc_sangnom(cm1, c0, cp1, spec)
-    fwd2 = calc_sangnom(np1, n0, nm1, spec)
-    bwd1 = calc_sangnom(cp1, c0, cm1, spec)
-    bwd2 = calc_sangnom(nm1, n0, np1, spec)
+def _hbox7_exact(line: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Reference-exact 7-tap box sum, taps clamped at S."""
+    t = _taps7(line, S)
+    s = t[0]
+    for tp in t[1:]:
+        s = s + tp
+    return s
+
+
+def _hbox7(line: jnp.ndarray, S: int, S_pad: int) -> jnp.ndarray:
+    """7-tap box sum with clamp-at-S semantics for all columns < S.
+
+    Bulk: hierarchical rotate tree (a = rot(-1)+id+rot(+1); h = rot(a,-2) +
+    line + rot(a,+2)) — pure circular rotates, no edge selects.  Only the 3
+    columns at each boundary (and wrap-contaminated lanes, which coincide)
+    differ from the clamped semantics; those are recomputed exactly on a
+    128-lane slab per side and merged.  Falls back to the fully clamped
+    form for narrow planes where the slabs would overlap."""
+    if S_pad < 384:
+        return _hbox7_exact(line, S)
+
+    a = _rot(line, -1) + line + _rot(line, 1)
+    bulk = _rot(a, -2) + line + _rot(a, 2)
+
+    # exact left edge: columns 0..2 depend on line[0..5] only
+    left = _hbox7_exact(line[..., :128], 128)
+    # exact right edge: columns S-3..S-1 depend on line[S-7..S-1]; the slab's
+    # right boundary IS the global clamp boundary S
+    right = _hbox7_exact(line[..., S - 128 : S], 128)
+
+    mid = bulk[..., 3 : S - 3]
+    parts = [left[..., :3], mid, right[..., -3:]]
+    if S_pad > S:
+        parts.append(bulk[..., S:])  # cols >= S: unspecified, never read back
+    return jnp.concatenate(parts, axis=-1)
+
+
+# pair_values layout inside the [18, B, S_pad] carry:
+#   0..6   curr taps  -3..+3        7..13  next taps  -3..+3
+#   14/15  fwd1/fwd2               16/17  bwd1/bwd2
+def _pair_values(c, n, spec: KernelSpec, w: int) -> list[jnp.ndarray]:
+    """The 14 clamped neighborhood taps and 4 directional predictors of one
+    kept-line pair (reference src/SangNom2.cpp:87-106)."""
+    ct = _taps7(c, w)
+    nt = _taps7(n, w)
+    fwd1 = calc_sangnom(ct[2], ct[3], ct[4], spec)
+    fwd2 = calc_sangnom(nt[4], nt[3], nt[2], spec)
+    bwd1 = calc_sangnom(ct[4], ct[3], ct[2], spec)
+    bwd2 = calc_sangnom(nt[2], nt[3], nt[4], spec)
+    return ct + nt + [fwd1, fwd2, bwd1, bwd2]
+
+
+def _error_maps(v: list[jnp.ndarray], spec: KernelSpec, w: int,
+                S_pad: int) -> jnp.ndarray:
+    """9 raw error maps from pair values; [9, B, S_pad] with columns >= w
+    zeroed (the zero-defined padding contract, SURVEY.md §2 quirk 2).  Map
+    order is spatial priority (reference enum Buffers, src/SangNom2.h:8-20;
+    stores at src/SangNom2.cpp:103-117)."""
+    (cm3, cm2, cm1, c0, cp1, cp2, cp3,
+     nm3, nm2, nm1, n0, np1, np2, np3,
+     fwd1, fwd2, bwd1, bwd2) = v
     maps = jnp.stack(
         [
             abs_diff(cm3, np3),
@@ -89,81 +155,100 @@ def _error_maps(c, n, spec: KernelSpec, w: int) -> jnp.ndarray:
             abs_diff(cp3, nm3),
         ]
     )
+    if w == S_pad:
+        return maps  # no padding columns to zero
     zero = jnp.zeros((), maps.dtype)
     return jnp.where(_col_iota(maps.shape) < w, maps, zero)
 
 
-def _finalize(c, n, sm, aaf, spec: KernelSpec, w: int) -> jnp.ndarray:
+def _finalize(v, sm, aaf, spec: KernelSpec) -> jnp.ndarray:
     """Min-error priority select for one output row (reference
     src/SangNom2.cpp:161-257); reverse-order masked overwrites realize the
     if-chain priority exactly (same trick as the reference's SIMD path,
     src/SangNom2_SSE2.cpp:1032-1058)."""
-    cm3, cm2, cm1, c0, cp1, cp2, cp3 = _taps7(c, w)
-    nm3, nm2, nm1, n0, np1, np2, np3 = _taps7(n, w)
-    fwd1 = calc_sangnom(cm1, c0, cp1, spec)
-    fwd2 = calc_sangnom(np1, n0, nm1, spec)
-    bwd1 = calc_sangnom(cp1, c0, cm1, spec)
-    bwd2 = calc_sangnom(nm1, n0, np1, spec)
-
+    (cm3, cm2, cm1, c0, cp1, cp2, cp3,
+     nm3, nm2, nm1, n0, np1, np2, np3,
+     fwd1, fwd2, bwd1, bwd2) = v
     mn = jnp.min(sm, axis=0)
-    res = avg_pair(cm3, np3, spec)
-    for idx, val in (
-        (8, avg_pair(cp3, nm3, spec)),
-        (1, avg_pair(cm2, np2, spec)),
-        (7, avg_pair(cp2, nm2, spec)),
-        (2, avg_pair(cm1, np1, spec)),
-        (6, avg_pair(cp1, nm1, spec)),
-        (3, avg_pair(fwd1, fwd2, spec)),
-        (5, avg_pair(bwd1, bwd2, spec)),
+    # Select the two average OPERANDS through the priority chain and average
+    # once at the end — the average is a pure function of its operands, so
+    # this is value-identical to selecting among nine precomputed averages
+    # but does half the arithmetic.
+    a, b = cm3, np3
+    for idx, xa, xb in (
+        (8, cp3, nm3),
+        (1, cm2, np2),
+        (7, cp2, nm2),
+        (2, cm1, np1),
+        (6, cp1, nm1),
+        (3, fwd1, fwd2),
+        (5, bwd1, bwd2),
     ):
-        res = jnp.where(sm[idx] == mn, val, res)
-    aaf_c = jnp.asarray(aaf, c.dtype)
-    return jnp.where((sm[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
+        hit = sm[idx] == mn
+        a = jnp.where(hit, xa, a)
+        b = jnp.where(hit, xb, b)
+    aaf_c = jnp.asarray(aaf, c0.dtype)
+    vert = (sm[4] == mn) | (mn > aaf_c)
+    a = jnp.where(vert, c0, a)
+    b = jnp.where(vert, n0, b)
+    return avg_pair(a, b, spec)
 
 
-def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, *, spec, w, S,
-            n_steps, aaf):
+def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
+            spec, w, S, S_pad, n_steps, aaf):
     t = pl.program_id(0)
-    k0 = k0_ref[0]
-    k1 = k1_ref[0]
-    k2 = k2_ref[0]
+    # rows stream in the narrow STORAGE dtype (u8/u16/f32) and widen to the
+    # accumulator inside VMEM — 4x less DMA for 8-bit planes
+    acc = spec.acc_dtype
+    k0 = k0_ref[0].astype(acc)
+    k1 = k1_ref[0].astype(acc)
+    k2 = k2_ref[0].astype(acc)
 
     @pl.when(t == 0)
     def _():
-        # buffer row 0 is zero-defined; raw[1] comes from kept rows (0, 1)
+        # buffer row 0 is zero-defined; raw[1] comes from kept pair (0, 1),
+        # whose taps/predictors seed the pair carry for this step's finalize
+        v01 = _pair_values(k0, k1, spec, w)
+        pair_ref[...] = jnp.stack(v01)
+        raw_ref[...] = _error_maps(v01, spec, w, S_pad)
         sm_ref[...] = jnp.zeros(sm_ref.shape, sm_ref.dtype)
-        raw_ref[...] = _error_maps(k0, k1, spec, w)
 
-    raw_next = _error_maps(k1, k2, spec, w)
+    # pair (b-1, b) values, computed by the previous step (or above at t=0)
+    pv = [pair_ref[i] for i in range(18)]
+
+    v12 = _pair_values(k1, k2, spec, w)
+    raw_next = _error_maps(v12, spec, w, S_pad)
     # past the last pair, raw[bufH] is the zero-defined row
     raw_next = jnp.where(t < n_steps - 1, raw_next, jnp.zeros((), raw_next.dtype))
 
     # recursive smoothing step (reference src/SangNom2.cpp:126-159): the
     # vertical 3-sum uses the ALREADY-SMOOTHED previous row from scratch
     line = sm_ref[...] + raw_ref[...] + raw_next
-    taps = _taps7(line, S)
-    h = taps[0]
-    for tp in taps[1:]:
-        h = h + tp
+    h = _hbox7(line, S, S_pad)
     if spec.is_float:
         sm = h * jnp.float32(1.0 / 16.0)
     else:
         sm = jnp.right_shift(h, 4) & spec.mask
 
-    out_ref[0] = _finalize(k0, k1, sm, aaf, spec, w)
+    # finalize values are already wrapped to the storage range; the cast
+    # back to the narrow dtype is value-preserving
+    out_ref[0] = _finalize(pv, sm, aaf, spec).astype(out_ref.dtype)
     sm_ref[...] = sm
     raw_ref[...] = raw_next
+    pair_ref[...] = jnp.stack(v12)
 
 
-# Frames per kernel invocation: bounds the [9, B, S_pad] VMEM scratch and
-# kernel-body temporaries under the ~16 MB scoped-VMEM budget at 1080p.
+# Frames per kernel invocation: bounds the [*, B, S_pad] VMEM carries and
+# kernel-body temporaries under the scoped-VMEM budget at 1080p widths.
 _MAX_KERNEL_BATCH = 8
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def interpolate_field_batch(
     kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int
 ) -> jnp.ndarray:
-    """[N, bufH, w] kept field -> [N, bufH-1, w] interpolated lines.
+    """[N, bufH, w] kept field (STORAGE dtype) -> [N, bufH-1, w] interpolated
+    lines in the same dtype; widening happens inside the kernel.
 
     Batches larger than the VMEM budget are processed in fixed-size chunks
     via `lax.map` (sequential on the chip — the kernel is serial per core
@@ -177,9 +262,7 @@ def interpolate_field_batch(
         pad = (-B) % g
         kp = jnp.pad(kept, ((0, pad), (0, 0), (0, 0)))
         chunks = kp.reshape(-1, g, bufH, w)
-        out = jax.lax.map(
-            lambda c: _interp_chunk(c, aaf, spec, stride), chunks
-        )
+        out = jax.lax.map(lambda c: _interp_chunk(c, aaf, spec, stride), chunks)
         return out.reshape(-1, bufH - 1, w)[:B]
     return _interp_chunk(kept, aaf, spec, stride)
 
@@ -199,7 +282,7 @@ def _interp_chunk(
     keptp = jnp.moveaxis(keptp, 1, 0)  # [bufH+1, B, S_pad]
 
     kernel = functools.partial(
-        _kernel, spec=spec, w=w, S=S, n_steps=n_steps, aaf=aaf
+        _kernel, spec=spec, w=w, S=S, S_pad=S_pad, n_steps=n_steps, aaf=aaf
     )
     row_view = lambda o: pl.BlockSpec(  # noqa: E731
         (1, B, S_pad), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
@@ -213,9 +296,13 @@ def _interp_chunk(
         ),
         out_shape=jax.ShapeDtypeStruct((n_steps, B, S_pad), kept.dtype),
         scratch_shapes=[
-            pltpu.VMEM((9, B, S_pad), kept.dtype),  # smoothed row b-1
-            pltpu.VMEM((9, B, S_pad), kept.dtype),  # raw row b
+            pltpu.VMEM((9, B, S_pad), spec.acc_dtype),  # smoothed row b-1
+            pltpu.VMEM((9, B, S_pad), spec.acc_dtype),  # raw row b
+            pltpu.VMEM((18, B, S_pad), spec.acc_dtype),  # pair taps/preds
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=jax.default_backend() != "tpu",
     )(keptp, keptp, keptp)
     return jnp.moveaxis(out, 0, 1)[..., :w]

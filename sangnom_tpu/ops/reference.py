@@ -107,15 +107,16 @@ def interpolate_field(
 ) -> jnp.ndarray:
     """Interpolate the interior missing lines from the kept field.
 
-    kept: [bufH, w] in the accumulator dtype (int32 or float32).
+    kept: [bufH, w] in the storage dtype (u8/u16/f32); widened internally.
     aaf: pre-scaled threshold as the kernel sees it (int or float32).
     stride: padded buffer stride in elements (luma-derived, SURVEY.md §2 q6).
-    Returns [bufH-1, w] interpolated lines in the accumulator dtype,
-    already wrapped to the storage range.
+    Returns [bufH-1, w] interpolated lines back in the storage dtype.
     """
+    out_dtype = kept.dtype
+    kept = kept.astype(spec.acc_dtype)
     bufH, w = kept.shape
     if bufH < 2:
-        return jnp.zeros((0, w), kept.dtype)
+        return jnp.zeros((0, w), out_dtype)
 
     curr, nxt = kept[:-1], kept[1:]  # kept pairs for buffer rows 1..bufH-1
 
@@ -158,7 +159,13 @@ def interpolate_field(
     # (reference src/SangNom2.cpp:214-217)
     aaf_c = jnp.asarray(aaf, kept.dtype)
     res = jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
-    return res
+    return res.astype(out_dtype)
+
+
+# Frames per scan invocation: the scan materializes [bufH, 9, S] i32 per
+# frame as xs; chunking bounds peak HBM (a 64-frame 1080p batch would
+# otherwise stage >20 GB).
+_MAX_SCAN_BATCH = 8
 
 
 def interpolate_field_batch(
@@ -170,4 +177,12 @@ def interpolate_field_batch(
     MT_MULTI_INSTANCE frame parallelism (reference src/SangNom2.h:63-66) —
     embarrassingly parallel, mapped onto VPU lanes via vmap.
     """
-    return jax.vmap(lambda k: interpolate_field(k, aaf, spec, stride))(kept)
+    N, bufH, w = kept.shape
+    run = jax.vmap(lambda k: interpolate_field(k, aaf, spec, stride))
+    if N <= _MAX_SCAN_BATCH:
+        return run(kept)
+    g = _MAX_SCAN_BATCH
+    pad = (-N) % g
+    kp = jnp.pad(kept, ((0, pad), (0, 0), (0, 0)))
+    out = jax.lax.map(run, kp.reshape(-1, g, bufH, w))
+    return out.reshape(-1, max(bufH - 1, 0), w)[:N]

@@ -83,8 +83,9 @@ def deinterlace_plane_batch(
         rows = offsets[:, None] + 2 * jnp.arange(bufH)[None, :]
         kept = jnp.take_along_axis(src, rows[..., None], axis=1)
 
-    interp = interp_fn(kept.astype(spec.acc_dtype), aaf, spec, stride)
-    interp = interp.astype(src.dtype)
+    # backends take and return the storage dtype (widening happens inside —
+    # on the Pallas path the narrow dtype streams all the way into VMEM)
+    interp = interp_fn(kept, aaf, spec, stride)
 
     def weave(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
         return jnp.stack([top, bottom], axis=2).reshape(N, h_out, w)
@@ -142,28 +143,46 @@ def sangnom2_impl(
     else:
         offsets = 0 if order == 1 else 1
 
-    out = []
+    def run_plane(p, aaf):
+        return deinterlace_plane_batch(
+            p, offsets, dh=dh, aaf=aaf, spec=spec, stride=stride,
+            interp_fn=interp_fn,
+        )
+
+    out: dict[int, jnp.ndarray] = {}
+    chroma_planes = [
+        i for i in (1, 2)
+        if i < len(planes) and (dh or process[i])
+    ]
+    if len(chroma_planes) == 2 and planes[1].shape == planes[2].shape:
+        # U and V share geometry, threshold, and offsets — fuse them into
+        # one batched kernel invocation (halves chroma dispatches)
+        uv = jnp.concatenate([planes[1], planes[2]], axis=0)
+        offs2 = offsets if isinstance(offsets, int) else jnp.tile(offsets, 2)
+        n = planes[1].shape[0]
+        res = deinterlace_plane_batch(
+            uv, offs2, dh=dh, aaf=aaf_as_pixel(aafs[1], fmt), spec=spec,
+            stride=stride, interp_fn=interp_fn,
+        )
+        out[1], out[2] = res[:n], res[n:]
+
     for i, p in enumerate(planes):
+        if i in out:
+            continue
         if i >= 3:
             # Alpha plane: passthrough; under dh, line-double by repetition.
             # (Deviation: the reference caps at 3 planes and leaves dst
             # alpha uninitialized, src/SangNom2.cpp:347.)
-            out.append(jnp.repeat(p, 2, axis=1) if dh else p)
+            out[i] = jnp.repeat(p, 2, axis=1) if dh else p
             continue
         if not dh and not process[i]:
             # Unprocessed plane: verbatim copy (reference src/SangNom2.cpp:
             # 369-374).  dh=True forces processing of every plane (361-366,
             # SURVEY.md §2 quirk 7), so no skip in that case.
-            out.append(p)
+            out[i] = p
             continue
-        aaf = aaf_as_pixel(aafs[i], fmt)
-        out.append(
-            deinterlace_plane_batch(
-                p, offsets, dh=dh, aaf=aaf, spec=spec, stride=stride,
-                interp_fn=interp_fn,
-            )
-        )
-    return tuple(out)
+        out[i] = run_plane(p, aaf_as_pixel(aafs[i], fmt))
+    return tuple(out[i] for i in range(len(planes)))
 
 
 @partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "opt", "fmt"))

@@ -73,11 +73,14 @@ def interpolate_field_width_sharded(
     """Shard-local kept field [N, bufH, W_loc] -> [N, bufH-1, W_loc].
 
     Must run inside `shard_map` with the width axis mapped to ``axis_name``.
-    Bit-exact to the unsharded backends (given W == S globally).
+    Takes and returns the storage dtype; bit-exact to the unsharded backends
+    (given W == S globally).
     """
+    out_dtype = kept.dtype
+    kept = kept.astype(spec.acc_dtype)
     N, bufH, w_loc = kept.shape
     if bufH < 2:
-        return jnp.zeros((N, 0, w_loc), kept.dtype)
+        return jnp.zeros((N, 0, w_loc), out_dtype)
 
     keptx = _exchange_halo(kept, 3, axis_name)  # one exchange for pixel taps
     curr_ext, nxt_ext = keptx[:, :-1], keptx[:, 1:]
@@ -137,4 +140,5 @@ def interpolate_field_width_sharded(
     ):
         res = jnp.where(bufs[idx] == mn, val, res)
     aaf_c = jnp.asarray(aaf, kept.dtype)
-    return jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
+    res = jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
+    return res.astype(out_dtype)
