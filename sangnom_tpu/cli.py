@@ -1,0 +1,97 @@
+"""Command-line host: deinterlace .y4m streams standalone.
+
+The reference runs inside an AviSynth host; this CLI is the framework's own
+minimal host runtime, exposing the exact script-function surface over files:
+
+    python -m sangnom_tpu input.y4m output.y4m --order 1 --aa 48 --dh
+    python -m sangnom_tpu in.y4m out.y4m --legacy --order 2   # SangNom()
+
+Reads/writes YUV4MPEG2 on files or stdin/stdout ("-").
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from sangnom_tpu import __version__, sangnom, sangnom2
+from sangnom_tpu.io import read_y4m, write_y4m
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sangnom-tpu",
+        description="SangNom2 edge-directed deinterlacer / anti-aliaser "
+        "(TPU-native). Parameter names, defaults and semantics match the "
+        "AviSynth plugin.",
+    )
+    p.add_argument("input", help=".y4m input path, or - for stdin")
+    p.add_argument("output", help=".y4m output path, or - for stdout")
+    p.add_argument("--order", type=int, default=1,
+                   help="0: per-frame parity (bob), 1: keep top, 2: keep "
+                   "bottom (default 1)")
+    p.add_argument("--aa", type=int, default=48, help="luma AA strength 0..128")
+    p.add_argument("--aac", type=int, default=0, help="chroma AA strength 0..128")
+    p.add_argument("--threads", type=int, default=0,
+                   help="accepted and ignored (reference compatibility)")
+    p.add_argument("--dh", action="store_true", help="double height")
+    p.add_argument("--no-luma", dest="luma", action="store_false")
+    p.add_argument("--no-chroma", dest="chroma", action="store_false")
+    p.add_argument("--opt", type=int, default=-1,
+                   help="-1 auto, 0 jnp reference, 1 fused Pallas")
+    p.add_argument("--legacy", action="store_true",
+                   help="use the legacy SangNom() surface (order remap; "
+                   "aa/opt only)")
+    p.add_argument("--frames", type=int, default=None,
+                   help="process at most N frames")
+    p.add_argument("--fps", default="25:1", help="output framerate N:D")
+    p.add_argument("--version", action="version",
+                   version=f"sangnom-tpu {__version__}")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the user's platform choice even where a site plugin (e.g.
+        # the axon TPU tunnel) force-overrides the jax config at import
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    args = build_parser().parse_args(argv)
+    src = sys.stdin.buffer if args.input == "-" else args.input
+    dst = sys.stdout.buffer if args.output == "-" else args.output
+
+    from sangnom_tpu.api import SangNomError
+
+    t0 = time.perf_counter()
+    try:
+        clip = read_y4m(src, max_frames=args.frames)
+        if args.legacy:
+            out = sangnom(clip, order=args.order, aa=args.aa, opt=args.opt)
+        else:
+            out = sangnom2(
+                clip, order=args.order, aa=args.aa, aac=args.aac,
+                threads=args.threads, dh=args.dh, luma=args.luma,
+                chroma=args.chroma, opt=args.opt,
+            )
+    except (SangNomError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    num, den = (int(x) for x in args.fps.split(":"))
+    write_y4m(dst, out, fps=(num, den))
+    dt = time.perf_counter() - t0
+    print(
+        f"{clip.num_frames} frames {clip.width}x{clip.height} -> "
+        f"{out.width}x{out.height} in {dt:.2f}s "
+        f"({clip.num_frames / dt:.1f} fps end-to-end)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

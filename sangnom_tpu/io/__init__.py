@@ -1,0 +1,9 @@
+"""Clip I/O: YUV4MPEG2 (.y4m) and raw-planar readers/writers.
+
+The reference delegates all frame I/O to its AviSynth host (SURVEY.md §1
+layer map, "Host runtime"); a standalone framework needs its own.  y4m is
+the lingua franca of deinterlacer pipelines (ffmpeg/mpv/VapourSynth all
+speak it), so it is the host-boundary format here.
+"""
+
+from sangnom_tpu.io.y4m import read_y4m, write_y4m  # noqa: F401

@@ -1,0 +1,135 @@
+"""YUV4MPEG2 (.y4m) reader / writer.
+
+Supports the planar formats the filter accepts: C420/C422/C444 at 8 bits and
+their p10/p12/p14/p16 extensions (little-endian uint16), plus Cmono.
+Interlacing flags map to Clip parity: 't' -> tff, 'b' -> bff.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import BinaryIO, Union
+
+import numpy as np
+
+from sangnom_tpu.core.clip import Clip
+from sangnom_tpu.core.formats import VideoFormat, get_format
+
+_COLORSPACE_TO_FORMAT = {
+    "mono": "GRAY8",
+    "420": "YUV420P8",
+    "420jpeg": "YUV420P8",
+    "420mpeg2": "YUV420P8",
+    "420paldv": "YUV420P8",
+    "422": "YUV422P8",
+    "444": "YUV444P8",
+}
+for _tag, _sub in (("420", "420"), ("422", "422"), ("444", "444")):
+    for _bits in (10, 12, 14, 16):
+        _COLORSPACE_TO_FORMAT[f"{_tag}p{_bits}"] = f"YUV{_sub}P{_bits}"
+for _bits in (10, 12, 14, 16):
+    _COLORSPACE_TO_FORMAT[f"monop{_bits}"] = f"GRAY{_bits}"
+
+_FORMAT_TO_COLORSPACE = {
+    "GRAY8": "mono",
+    "YUV420P8": "420",
+    "YUV422P8": "422",
+    "YUV444P8": "444",
+}
+for _sub in ("420", "422", "444"):
+    for _bits in (10, 12, 14, 16):
+        _FORMAT_TO_COLORSPACE[f"YUV{_sub}P{_bits}"] = f"{_sub}p{_bits}"
+for _bits in (10, 12, 14, 16):
+    _FORMAT_TO_COLORSPACE[f"GRAY{_bits}"] = f"monop{_bits}"
+
+
+def _open(f: Union[str, BinaryIO], mode: str):
+    if isinstance(f, (str, bytes)):
+        return open(f, mode), True
+    return f, False
+
+
+def read_y4m(f: Union[str, BinaryIO], max_frames: int | None = None) -> Clip:
+    """Parse a .y4m stream into a Clip (all frames device-ready numpy)."""
+    fh, close = _open(f, "rb")
+    try:
+        header = fh.readline().decode("ascii", "replace").strip()
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError("not a YUV4MPEG2 stream")
+        width = height = None
+        cs = "420"
+        interlace = "p"
+        for tok in header.split()[1:]:
+            key, val = tok[0], tok[1:]
+            if key == "W":
+                width = int(val)
+            elif key == "H":
+                height = int(val)
+            elif key == "C":
+                cs = val.lower()
+            elif key == "I":
+                interlace = val.lower()
+        if width is None or height is None:
+            raise ValueError("y4m header missing W/H")
+        if cs not in _COLORSPACE_TO_FORMAT:
+            raise ValueError(f"unsupported y4m colorspace C{cs}")
+        fmt = get_format(_COLORSPACE_TO_FORMAT[cs])
+
+        dt = np.dtype("<u2") if fmt.component_size == 2 else np.dtype("u1")
+        plane_geom = [fmt.plane_dims(width, height, i) for i in range(fmt.num_planes)]
+        frame_bytes = sum(pw * ph * dt.itemsize for pw, ph in plane_geom)
+
+        frames: list[list[np.ndarray]] = []
+        while max_frames is None or len(frames) < max_frames:
+            line = fh.readline()
+            if not line:
+                break
+            if not line.startswith(b"FRAME"):
+                raise ValueError(f"expected FRAME marker, got {line[:20]!r}")
+            buf = fh.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                raise ValueError("truncated y4m frame")
+            planes, off = [], 0
+            for pw, ph in plane_geom:
+                n = pw * ph * dt.itemsize
+                planes.append(
+                    np.frombuffer(buf, dt, count=pw * ph, offset=off).reshape(ph, pw)
+                )
+                off += n
+            frames.append(planes)
+        if not frames:
+            raise ValueError("y4m stream contains no frames")
+        stacked = [
+            np.stack([fr[i] for fr in frames]).astype(fmt.dtype)
+            for i in range(fmt.num_planes)
+        ]
+        return Clip.from_numpy(stacked, fmt, tff=(interlace != "b"),
+                               props={"y4m_interlace": interlace})
+    finally:
+        if close:
+            fh.close()
+
+
+def write_y4m(f: Union[str, BinaryIO], clip: Clip,
+              fps: tuple[int, int] = (25, 1), interlace: str = "p") -> None:
+    """Serialize a Clip as .y4m.  Raises for formats y4m cannot carry
+    (float, alpha)."""
+    name = clip.format.name
+    if name not in _FORMAT_TO_COLORSPACE:
+        raise ValueError(f"format {name} has no y4m colorspace")
+    cs = _FORMAT_TO_COLORSPACE[name]
+    fh, close = _open(f, "wb")
+    try:
+        fh.write(
+            f"YUV4MPEG2 W{clip.width} H{clip.height} "
+            f"F{fps[0]}:{fps[1]} I{interlace} A1:1 C{cs}\n".encode()
+        )
+        arrs = [np.asarray(p) for p in clip.planes]
+        dt = np.dtype("<u2") if clip.format.component_size == 2 else np.dtype("u1")
+        for n in range(clip.num_frames):
+            fh.write(b"FRAME\n")
+            for p in arrs:
+                fh.write(np.ascontiguousarray(p[n]).astype(dt).tobytes())
+    finally:
+        if close:
+            fh.close()

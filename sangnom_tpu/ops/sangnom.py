@@ -33,6 +33,8 @@ from sangnom_tpu.core.geometry import (
 )
 from sangnom_tpu.ops import reference as ref_backend
 from sangnom_tpu.ops.primitives import KernelSpec
+from sangnom_tpu.utils.logging import log_dispatch
+from sangnom_tpu.utils.profiling import stage_scope
 
 Offset = Union[int, jax.Array]
 
@@ -85,7 +87,8 @@ def deinterlace_plane_batch(
 
     # backends take and return the storage dtype (widening happens inside —
     # on the Pallas path the narrow dtype streams all the way into VMEM)
-    interp = interp_fn(kept, aaf, spec, stride)
+    with stage_scope("interpolate"):
+        interp = interp_fn(kept, aaf, spec, stride)
 
     def weave(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
         return jnp.stack([top, bottom], axis=2).reshape(N, h_out, w)
@@ -133,6 +136,14 @@ def sangnom2_impl(
     if interp_fn is None:
         interp_fn = _pick_backend(opt)
     spec = KernelSpec.from_format(fmt)
+    log_dispatch(
+        fmt=fmt.name,
+        backend=getattr(interp_fn, "__module__", str(interp_fn)),
+        acc_dtype=spec.acc_dtype.__name__ if hasattr(spec.acc_dtype, "__name__") else spec.acc_dtype,
+        order=order, aa=aa, aac=aac, dh=dh, luma=luma, chroma=chroma, opt=opt,
+        frames=planes[0].shape[0], height=planes[0].shape[1],
+        width=planes[0].shape[2],
+    )
     aafs = scaled_aa_thresholds(aa, aac, fmt)
     luma_w = planes[0].shape[2]
     stride = buffer_stride_elems(luma_w, fmt.component_size)

@@ -1,0 +1,80 @@
+"""y4m round-trip and CLI host tests."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sangnom_tpu import Clip, get_format, sangnom2
+from sangnom_tpu.io import read_y4m, write_y4m
+
+from conftest import make_planes
+
+
+def _roundtrip(fmt_name, w, h, n, rng):
+    fmt = get_format(fmt_name)
+    frames = [make_planes(rng, w, h, fmt) for _ in range(n)]
+    planes = [np.stack([f[i] for f in frames]) for i in range(fmt.num_planes)]
+    if fmt_name.startswith("GRAY") or "P1" in fmt_name or fmt_name.endswith("P8"):
+        pass
+    clip = Clip.from_numpy(planes, fmt)
+    buf = io.BytesIO()
+    write_y4m(buf, clip)
+    buf.seek(0)
+    back = read_y4m(buf)
+    assert back.format.name == fmt.name
+    for i in range(fmt.num_planes):
+        np.testing.assert_array_equal(np.asarray(back.planes[i]), np.asarray(clip.planes[i]))
+
+
+@pytest.mark.parametrize("fmt_name", ["GRAY8", "YUV420P8", "YUV422P10", "YUV444P16"])
+def test_y4m_roundtrip(rng, fmt_name):
+    _roundtrip(fmt_name, 32, 16, 3, rng)
+
+
+def test_y4m_rejects_float(rng):
+    fmt = get_format("GRAYS")
+    clip = Clip.from_numpy([np.zeros((1, 8, 16), np.float32)], fmt)
+    with pytest.raises(ValueError, match="no y4m colorspace"):
+        write_y4m(io.BytesIO(), clip)
+
+
+def test_y4m_rejects_garbage():
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        read_y4m(io.BytesIO(b"RIFF....WEBP"))
+
+
+def test_y4m_interlace_flag_sets_parity(rng):
+    fmt = get_format("GRAY8")
+    clip = Clip.from_numpy([np.zeros((1, 8, 16), np.uint8)], fmt)
+    buf = io.BytesIO()
+    write_y4m(buf, clip, interlace="b")
+    buf.seek(0)
+    assert read_y4m(buf).tff is False
+
+
+def test_cli_end_to_end(rng, tmp_path):
+    """Drive the CLI host exactly as a user would, stdin/stdout included."""
+    fmt = get_format("YUV420P8")
+    planes = [np.stack([p]) for p in make_planes(rng, 32, 16, fmt)]
+    clip = Clip.from_numpy(planes, fmt)
+    src = tmp_path / "in.y4m"
+    dst = tmp_path / "out.y4m"
+    write_y4m(str(src), clip)
+
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src), str(dst),
+         "--order", "2", "--aa", "48"],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 0, res.stderr
+    out = read_y4m(str(dst))
+    want = sangnom2(clip, order=2, aa=48, opt=0)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(out.planes[i]), np.asarray(want.planes[i])
+        )
+    assert "frames 32x16" in res.stderr
