@@ -169,7 +169,10 @@ def _finalize(v, sm, aaf, spec: KernelSpec) -> jnp.ndarray:
     (cm3, cm2, cm1, c0, cp1, cp2, cp3,
      nm3, nm2, nm1, n0, np1, np2, np3,
      fwd1, fwd2, bwd1, bwd2) = v
-    mn = jnp.min(sm, axis=0)
+    # 9-way min as an elementwise tree (Mosaic has no int16 axis-reduce)
+    mn = sm[0]
+    for i in range(1, 9):
+        mn = jnp.minimum(mn, sm[i])
     # Select the two average OPERANDS through the priority chain and average
     # once at the end — the average is a pure function of its operands, so
     # this is value-identical to selecting among nine precomputed averages
@@ -240,8 +243,14 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
 
 # Frames per kernel invocation: bounds the [*, B, S_pad] VMEM carries and
 # kernel-body temporaries under the scoped-VMEM budget at 1080p widths.
-_MAX_KERNEL_BATCH = 8
+# int16 accumulators (8-bit planes) tile at 16 sublanes, so the frame batch
+# must be 16 to fill the tile; int32/float32 tile at 8.
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def _kernel_batch(spec: KernelSpec) -> int:
+    del spec
+    return 8  # int32/float32 accumulators tile at 8 sublanes
 
 
 def interpolate_field_batch(
@@ -257,8 +266,8 @@ def interpolate_field_batch(
     B, bufH, w = kept.shape
     if bufH < 2:
         return jnp.zeros((B, 0, w), kept.dtype)
-    if B > _MAX_KERNEL_BATCH:
-        g = _MAX_KERNEL_BATCH
+    g = _kernel_batch(spec)
+    if B > g:
         pad = (-B) % g
         kp = jnp.pad(kept, ((0, pad), (0, 0), (0, 0)))
         chunks = kp.reshape(-1, g, bufH, w)

@@ -31,6 +31,11 @@ class KernelSpec:
 
     @property
     def acc_dtype(self):
+        """Accumulator: int32 lanes for integer formats (reproduces the
+        reference's narrower i16-for-u8 accumulator exactly — no
+        intermediate exceeds it, src/SangNom2.cpp:316), float32 for float.
+        int16 accumulation was tried and reverted: Mosaic on this target
+        lacks packed-i16 shifts (arith.shrsi) and axis reductions."""
         return jnp.float32 if self.is_float else jnp.int32
 
     @classmethod
