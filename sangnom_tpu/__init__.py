@@ -25,6 +25,12 @@ REFERENCE_VERSION = "0.6.1"
 
 from sangnom_tpu.core.formats import VideoFormat, get_format, FORMATS  # noqa: E402
 from sangnom_tpu.core.clip import Clip  # noqa: E402
+from sangnom_tpu.core.fields import (  # noqa: E402
+    bob,
+    double_weave,
+    separate_fields,
+    weave,
+)
 from sangnom_tpu.api import sangnom2, sangnom, register_plugin_functions  # noqa: E402
 
 __all__ = [
@@ -34,6 +40,10 @@ __all__ = [
     "FORMATS",
     "sangnom2",
     "sangnom",
+    "bob",
+    "separate_fields",
+    "double_weave",
+    "weave",
     "register_plugin_functions",
     "__version__",
     "REFERENCE_VERSION",

@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--legacy", action="store_true",
                    help="use the legacy SangNom() surface (order remap; "
                    "aa/opt only)")
+    p.add_argument("--bob", action="store_true",
+                   help="double-rate deinterlace: SeparateFields -> "
+                   "DoubleWeave -> SangNom2(order=0); doubles the frame "
+                   "count and framerate")
+    p.add_argument("--tff", dest="tff", action="store_true", default=None,
+                   help="force top-field-first (default: stream flag)")
+    p.add_argument("--bff", dest="tff", action="store_false",
+                   help="force bottom-field-first")
     p.add_argument("--frames", type=int, default=None,
                    help="process at most N frames")
     p.add_argument("--fps", default="25:1", help="output framerate N:D")
@@ -70,7 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     try:
         clip = read_y4m(src, max_frames=args.frames)
-        if args.legacy:
+        if args.bob:
+            from sangnom_tpu import bob as bob_fn
+
+            out = bob_fn(clip, aa=args.aa, aac=args.aac, luma=args.luma,
+                         chroma=args.chroma, opt=args.opt, tff=args.tff)
+        elif args.legacy:
             out = sangnom(clip, order=args.order, aa=args.aa, opt=args.opt)
         else:
             out = sangnom2(
@@ -82,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     num, den = (int(x) for x in args.fps.split(":"))
+    if args.bob:
+        num *= 2  # double-rate output
     write_y4m(dst, out, fps=(num, den))
     dt = time.perf_counter() - t0
     print(

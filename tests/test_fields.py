@@ -1,0 +1,91 @@
+"""SeparateFields / DoubleWeave / bob pipeline tests."""
+
+import numpy as np
+import pytest
+
+from sangnom_tpu import Clip, get_format, sangnom2
+from sangnom_tpu.core.fields import bob, double_weave, separate_fields, weave
+from sangnom_tpu.oracle import sangnom2_frame_oracle
+
+from conftest import make_planes
+
+
+def _clip(rng, fmt_name="GRAY8", w=32, h=16, n=2, tff=True):
+    fmt = get_format(fmt_name)
+    frames = [make_planes(rng, w, h, fmt) for _ in range(n)]
+    planes = [np.stack([f[i] for f in frames]) for i in range(fmt.num_planes)]
+    return Clip.from_numpy(planes, fmt, tff=tff), planes
+
+
+@pytest.mark.parametrize("tff", [True, False])
+def test_separate_fields_layout(rng, tff):
+    clip, planes = _clip(rng, tff=tff)
+    fields = separate_fields(clip)
+    assert fields.num_frames == 4 and fields.height == 8
+    f = np.asarray(fields.planes[0])
+    src = planes[0]
+    first, second = (src[0][0::2], src[0][1::2]) if tff else (src[0][1::2], src[0][0::2])
+    np.testing.assert_array_equal(f[0], first)
+    np.testing.assert_array_equal(f[1], second)
+    # parity marks top fields True
+    assert fields.get_parity(0) == tff and fields.get_parity(1) == (not tff)
+
+
+@pytest.mark.parametrize("tff", [True, False])
+def test_separate_weave_roundtrip(rng, tff):
+    clip, planes = _clip(rng, "YUV420P8", w=32, h=16, tff=tff)
+    back = weave(separate_fields(clip))
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(back.planes[i]), planes[i])
+
+
+def test_double_weave_pairs(rng):
+    clip, planes = _clip(rng, n=2, tff=True)
+    dw = double_weave(separate_fields(clip))
+    assert dw.num_frames == 4 and dw.height == 16
+    d = np.asarray(dw.planes[0])
+    src = planes[0]
+    # frame 0 = top field 0 + bottom field 0 == original frame 0
+    np.testing.assert_array_equal(d[0], src[0])
+    # frame 1 = bottom field 0 (leading) + top field of frame 1:
+    # rows 1,3,.. from frame 0; rows 0,2,.. from frame 1
+    np.testing.assert_array_equal(d[1][1::2], src[0][1::2])
+    np.testing.assert_array_equal(d[1][0::2], src[1][0::2])
+    # last frame: degenerate duplicated pairing keeps its own field rows
+    np.testing.assert_array_equal(d[3][1::2], src[1][1::2])
+
+
+def test_bob_against_oracle(rng):
+    """The full double-rate pipeline, cross-checked frame by frame."""
+    clip, planes = _clip(rng, "YUV420P8", w=32, h=16, n=2, tff=True)
+    out = bob(clip, opt=0)
+    assert out.num_frames == 4 and out.height == 16
+
+    fields = separate_fields(clip)
+    woven = double_weave(fields)
+    fmt = clip.format
+    for n in range(4):
+        frame = [np.asarray(p)[n] for p in woven.planes]
+        want = sangnom2_frame_oracle(
+            frame, fmt, order=0, frame_parity=woven.get_parity(n)
+        )
+        for i in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(out.planes[i])[n], want[i],
+                err_msg=f"bob frame {n} plane {i}",
+            )
+
+
+def test_bob_keeps_source_fields(rng):
+    clip, planes = _clip(rng, n=1, tff=True)
+    out = np.asarray(bob(clip, opt=0).planes[0])
+    src = planes[0][0]
+    np.testing.assert_array_equal(out[0][0::2], src[0::2])  # frame 0 keeps top
+    np.testing.assert_array_equal(out[1][1::2], src[1::2])  # frame 1 keeps bottom
+
+
+def test_separate_fields_odd_height_rejected(rng):
+    fmt = get_format("GRAY8")
+    clip = Clip.from_numpy([np.zeros((1, 15, 16), np.uint8)], fmt)
+    with pytest.raises(ValueError, match="height must be even"):
+        separate_fields(clip)
