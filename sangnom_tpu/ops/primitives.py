@@ -15,10 +15,49 @@ reproduces them exactly.  Wrap-on-cast-to-pixel-type is an `& mask`.
 from __future__ import annotations
 
 import dataclasses
+import enum
 
 import jax.numpy as jnp
 
 from sangnom_tpu.core.formats import VideoFormat
+
+
+class Buffers(enum.IntEnum):
+    """The nine directional error maps.
+
+    Values are *spatial priority indices* 0..8 — the SangNom predictor maps
+    interleave between the shear-difference maps (FWD=3, REV=5), and the
+    finalize stage's tie-breaking priority is a fixed function of this
+    spatial order (reference enum Buffers, src/SangNom2.h:8-20; load order
+    src/SangNom2.cpp:197-206).
+    """
+
+    ADIFF_M3_P3 = 0  # |curr[x-3] - next[x+3]|
+    ADIFF_M2_P2 = 1
+    ADIFF_M1_P1 = 2
+    SG_FORWARD = 3   # forward predictor disagreement
+    ADIFF_P0_M0 = 4  # vertical
+    SG_REVERSE = 5   # reverse predictor disagreement
+    ADIFF_P1_M1 = 6
+    ADIFF_P2_M2 = 7
+    ADIFF_P3_M3 = 8
+
+
+TOTAL_BUFFERS = len(Buffers)
+
+# Finalize checks in this order; the FIRST hit wins (reference
+# src/SangNom2.cpp:212-249 "the order of following code is important").
+# ADIFF_P0_M0 is special-cased first together with the aa threshold.
+SELECT_PRIORITY = (
+    Buffers.SG_REVERSE,
+    Buffers.SG_FORWARD,
+    Buffers.ADIFF_P1_M1,
+    Buffers.ADIFF_M1_P1,
+    Buffers.ADIFF_P2_M2,
+    Buffers.ADIFF_M2_P2,
+    Buffers.ADIFF_P3_M3,
+    Buffers.ADIFF_M3_P3,
+)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -128,7 +128,11 @@ def sangnom2_frame_oracle(
     process = [luma, chroma, chroma]
     out = []
     for i, p in enumerate(planes):
-        if i >= 3 or (not dh and not process[i]):
+        if i >= 3:
+            # alpha: passthrough, line-doubled under dh (framework contract)
+            out.append(np.repeat(p, 2, axis=0) if dh else p.copy())
+            continue
+        if not dh and not process[i]:
             out.append(p.copy())
             continue
         out.append(deinterlace_plane_oracle(p, offset, dh, aafs[i], stride))

@@ -232,9 +232,10 @@ def sangnom2_frame_scalar(
     out = []
     for i, p in enumerate(planes):
         if i >= 3:
-            # alpha plane: passthrough (deviation: the reference leaves dst
-            # alpha uninitialized, src/SangNom2.cpp:347 caps at 3 planes)
-            out.append(p.copy())
+            # alpha plane: passthrough, line-doubled under dh (deviation:
+            # the reference leaves dst alpha uninitialized,
+            # src/SangNom2.cpp:347 caps at 3 planes)
+            out.append(np.repeat(p, 2, axis=0) if dh else p.copy())
             continue
         if not dh and not process[i]:
             # unprocessed plane: verbatim copy (reference src/SangNom2.cpp:
