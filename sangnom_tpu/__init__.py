@@ -31,7 +31,12 @@ from sangnom_tpu.core.fields import (  # noqa: E402
     separate_fields,
     weave,
 )
-from sangnom_tpu.api import sangnom2, sangnom, register_plugin_functions  # noqa: E402
+from sangnom_tpu.api import (  # noqa: E402
+    SangNom2Filter,
+    register_plugin_functions,
+    sangnom,
+    sangnom2,
+)
 
 __all__ = [
     "Clip",
@@ -40,6 +45,7 @@ __all__ = [
     "FORMATS",
     "sangnom2",
     "sangnom",
+    "SangNom2Filter",
     "bob",
     "separate_fields",
     "double_weave",

@@ -91,6 +91,52 @@ def sangnom(clip: Clip, order: int = 1, aa: int = 48, opt: int = -1) -> Clip:
     return sangnom2_op(clip, order=new_order, aa=aa, aac=0, opt=opt)
 
 
+class SangNom2Filter:
+    """A pre-configured, reusable filter instance — the analogue of the
+    reference's filter object (ctor validates and precomputes, GetFrame
+    processes; reference src/SangNom2.cpp:275-330, 332-397).
+
+    Parameter-range validation happens at construction, exactly as the
+    reference factory does; clip-dependent checks (format, geometry) happen
+    per call since clips bind late here.  Instances are stateless and safe
+    to share across threads/devices — the structural replacement for the
+    reference's MT_MULTI_INSTANCE contract (src/SangNom2.h:63-66).
+    """
+
+    # The MT contract the reference declares via SetCacheHints
+    # (MT_MULTI_INSTANCE): here the whole filter is a pure function.
+    MT_CONTRACT = "pure-functional (vmap/shard_map safe)"
+
+    def __init__(self, order: int = 1, aa: int = 48, aac: int = 0,
+                 threads: int = 0, dh: bool = False, luma: bool = True,
+                 chroma: bool = True, opt: int = -1):
+        # construction-time validation of everything clip-independent
+        if order < 0 or order > 2:
+            raise SangNomError("SangNom2: order must be between 0..2.")
+        if aa < 0 or aa > 128:
+            raise SangNomError("SangNom2: aa must be between 0..128.")
+        if aac < 0 or aac > 128:
+            raise SangNomError("SangNom2: aac must be between 0..128.")
+        if opt < -1 or opt > 1:
+            raise SangNomError("SangNom2: opt must be between -1..2.")
+        del threads
+        self.order, self.aa, self.aac = order, aa, aac
+        self.dh, self.luma, self.chroma, self.opt = dh, luma, chroma, opt
+
+    def __call__(self, clip: Clip) -> Clip:
+        return sangnom2(
+            clip, order=self.order, aa=self.aa, aac=self.aac, dh=self.dh,
+            luma=self.luma, chroma=self.chroma, opt=self.opt,
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"SangNom2Filter(order={self.order}, aa={self.aa}, "
+            f"aac={self.aac}, dh={self.dh}, luma={self.luma}, "
+            f"chroma={self.chroma}, opt={self.opt})"
+        )
+
+
 def register_plugin_functions(registry: dict) -> str:
     """Register the filter functions into a host registry — the analogue of
     AvisynthPluginInit3's AddFunction calls (reference src/SangNom2.cpp:
