@@ -78,3 +78,29 @@ def test_cli_end_to_end(rng, tmp_path):
             np.asarray(out.planes[i]), np.asarray(want.planes[i])
         )
     assert "frames 32x16" in res.stderr
+
+
+# -- raw planar I/O -----------------------------------------------------------
+@pytest.mark.parametrize("fmt_name", ["GRAYS", "YUVA444P16", "YUV420P8"])
+def test_raw_roundtrip(rng, fmt_name):
+    from sangnom_tpu.io import read_raw, write_raw
+
+    fmt = get_format(fmt_name)
+    frames = [make_planes(rng, 16, 8, fmt) for _ in range(2)]
+    planes = [np.stack([f[i] for f in frames]) for i in range(fmt.num_planes)]
+    clip = Clip.from_numpy(planes, fmt)
+    buf = io.BytesIO()
+    write_raw(buf, clip)
+    buf.seek(0)
+    back = read_raw(buf, fmt, 16, 8)
+    for i in range(fmt.num_planes):
+        np.testing.assert_array_equal(np.asarray(back.planes[i]), planes[i])
+
+
+def test_raw_truncated_rejected(rng):
+    from sangnom_tpu.io import frame_size_bytes, read_raw
+
+    fmt = get_format("GRAY8")
+    n = frame_size_bytes(fmt, 16, 8)
+    with pytest.raises(ValueError, match="truncated"):
+        read_raw(io.BytesIO(b"\0" * (n + 3)), fmt, 16, 8)
