@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force bottom-field-first")
     p.add_argument("--frames", type=int, default=None,
                    help="process at most N frames")
-    p.add_argument("--fps", default="25:1", help="output framerate N:D")
+    p.add_argument("--fps", default=None,
+                   help="output framerate N:D (default: input stream's)")
     p.add_argument("--version", action="version",
                    version=f"sangnom-tpu {__version__}")
     return p
@@ -77,7 +78,21 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     try:
+        if args.fps is not None:
+            num, den = (int(x) for x in args.fps.split(":"))
+            if den <= 0 or num <= 0:
+                raise ValueError(f"invalid --fps {args.fps!r}")
+            fps = (num, den)
+        else:
+            fps = None
         clip = read_y4m(src, max_frames=args.frames)
+        if args.tff is not None:
+            # force field dominance over the stream's interlace flag
+            # (applies to every mode, not just --bob)
+            from sangnom_tpu import Clip
+
+            clip = Clip(clip.planes, clip.format, parity=None,
+                        tff=args.tff, props=clip.props)
         if args.bob:
             from sangnom_tpu import bob as bob_fn
 
@@ -94,10 +109,11 @@ def main(argv: list[str] | None = None) -> int:
     except (SangNomError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    num, den = (int(x) for x in args.fps.split(":"))
+    if fps is None:
+        fps = clip.props.get("y4m_fps", (25, 1))
     if args.bob:
-        num *= 2  # double-rate output
-    write_y4m(dst, out, fps=(num, den))
+        fps = (fps[0] * 2, fps[1])  # double-rate output
+    write_y4m(dst, out, fps=fps)
     dt = time.perf_counter() - t0
     print(
         f"{clip.num_frames} frames {clip.width}x{clip.height} -> "

@@ -59,6 +59,8 @@ def read_y4m(f: Union[str, BinaryIO], max_frames: int | None = None) -> Clip:
         width = height = None
         cs = "420"
         interlace = "p"
+        fps = (25, 1)
+        aspect = "1:1"
         for tok in header.split()[1:]:
             key, val = tok[0], tok[1:]
             if key == "W":
@@ -69,6 +71,11 @@ def read_y4m(f: Union[str, BinaryIO], max_frames: int | None = None) -> Clip:
                 cs = val.lower()
             elif key == "I":
                 interlace = val.lower()
+            elif key == "F":
+                num, den = val.split(":")
+                fps = (int(num), int(den))
+            elif key == "A":
+                aspect = val
         if width is None or height is None:
             raise ValueError("y4m header missing W/H")
         if cs not in _COLORSPACE_TO_FORMAT:
@@ -103,26 +110,34 @@ def read_y4m(f: Union[str, BinaryIO], max_frames: int | None = None) -> Clip:
             np.stack([fr[i] for fr in frames]).astype(fmt.dtype)
             for i in range(fmt.num_planes)
         ]
-        return Clip.from_numpy(stacked, fmt, tff=(interlace != "b"),
-                               props={"y4m_interlace": interlace})
+        return Clip.from_numpy(
+            stacked, fmt, tff=(interlace != "b"),
+            props={"y4m_interlace": interlace, "y4m_fps": fps,
+                   "y4m_aspect": aspect},
+        )
     finally:
         if close:
             fh.close()
 
 
 def write_y4m(f: Union[str, BinaryIO], clip: Clip,
-              fps: tuple[int, int] = (25, 1), interlace: str = "p") -> None:
-    """Serialize a Clip as .y4m.  Raises for formats y4m cannot carry
-    (float, alpha)."""
+              fps: tuple[int, int] | None = None,
+              interlace: str = "p") -> None:
+    """Serialize a Clip as .y4m.  ``fps`` defaults to the framerate the clip
+    was read with (``y4m_fps`` prop), else 25:1.  Raises for formats y4m
+    cannot carry (float, alpha)."""
     name = clip.format.name
     if name not in _FORMAT_TO_COLORSPACE:
         raise ValueError(f"format {name} has no y4m colorspace")
     cs = _FORMAT_TO_COLORSPACE[name]
+    if fps is None:
+        fps = clip.props.get("y4m_fps", (25, 1))
+    aspect = clip.props.get("y4m_aspect", "1:1")
     fh, close = _open(f, "wb")
     try:
         fh.write(
             f"YUV4MPEG2 W{clip.width} H{clip.height} "
-            f"F{fps[0]}:{fps[1]} I{interlace} A1:1 C{cs}\n".encode()
+            f"F{fps[0]}:{fps[1]} I{interlace} A{aspect} C{cs}\n".encode()
         )
         arrs = [np.asarray(p) for p in clip.planes]
         dt = np.dtype("<u2") if clip.format.component_size == 2 else np.dtype("u1")

@@ -90,7 +90,8 @@ def _hbox7_exact(line: jnp.ndarray, S: int) -> jnp.ndarray:
     return s
 
 
-def _hbox7(line: jnp.ndarray, S: int, S_pad: int) -> jnp.ndarray:
+def _hbox7(line: jnp.ndarray, S: int, S_pad: int,
+           is_float: bool = False) -> jnp.ndarray:
     """7-tap box sum with clamp-at-S semantics for all columns < S.
 
     Bulk: hierarchical rotate tree (a = rot(-1)+id+rot(+1); h = rot(a,-2) +
@@ -98,8 +99,12 @@ def _hbox7(line: jnp.ndarray, S: int, S_pad: int) -> jnp.ndarray:
     columns at each boundary (and wrap-contaminated lanes, which coincide)
     differ from the clamped semantics; those are recomputed exactly on a
     128-lane slab per side and merged.  Falls back to the fully clamped
-    form for narrow planes where the slabs would overlap."""
-    if S_pad < 384:
+    form for narrow planes where the slabs would overlap — and ALWAYS for
+    float: the tree changes fp32 summation association vs the reference's
+    left-to-right order (integer addition is associative, fp is not), which
+    would break the bit-exactness contract through the exact-equality
+    min-select."""
+    if is_float or S_pad < 384:
         return _hbox7_exact(line, S)
 
     a = _rot(line, -1) + line + _rot(line, 1)
@@ -227,7 +232,7 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
     # recursive smoothing step (reference src/SangNom2.cpp:126-159): the
     # vertical 3-sum uses the ALREADY-SMOOTHED previous row from scratch
     line = sm_ref[...] + raw_ref[...] + raw_next
-    h = _hbox7(line, S, S_pad)
+    h = _hbox7(line, S, S_pad, spec.is_float)
     if spec.is_float:
         sm = h * jnp.float32(1.0 / 16.0)
     else:
@@ -254,10 +259,13 @@ def _kernel_batch(spec: KernelSpec) -> int:
 
 
 def interpolate_field_batch(
-    kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int
+    kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int,
+    plane_width: int | None = None,
 ) -> jnp.ndarray:
     """[N, bufH, w] kept field (STORAGE dtype) -> [N, bufH-1, w] interpolated
     lines in the same dtype; widening happens inside the kernel.
+    ``plane_width`` exists for interface parity with the sharded backend
+    (unsharded: array width == plane width).
 
     Batches larger than the VMEM budget are processed in fixed-size chunks
     via `lax.map` (sequential on the chip — the kernel is serial per core

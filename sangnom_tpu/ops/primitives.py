@@ -3,7 +3,7 @@
 Each helper replicates one scalar primitive of the reference's C path
 (the parity target, reference src/SangNom2.cpp:25-72) as a whole-array op:
 
-  - `shifted`         <-> loadPixel edge-clamped gather (src/SangNom2.cpp:25-34)
+  - `neighborhood`    <-> loadPixel edge-clamped gather (src/SangNom2.cpp:25-34)
   - `calc_sangnom`    <-> calculateSangNom (4a+5b-c)>>3 w/ wrap (60-72)
   - `avg_pair`        <-> avg round-half-up / float half (48-58)
 
@@ -82,17 +82,6 @@ class KernelSpec:
         if fmt.is_float:
             return cls(is_float=True, mask=0)
         return cls(is_float=False, mask=(1 << (8 * fmt.component_size)) - 1)
-
-
-def shifted(a: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Edge-clamped horizontal shift along the last axis:
-    out[..., x] = a[..., clamp(x + k, 0, W-1)]."""
-    if k == 0:
-        return a
-    pad = [(0, 0)] * (a.ndim - 1) + [(max(0, -k), max(0, k))]
-    ap = jnp.pad(a, pad, mode="edge")
-    lo = k + max(0, -k)  # position of original index 0+k inside the padded axis
-    return ap[..., lo : lo + a.shape[-1]]
 
 
 def neighborhood(a: jnp.ndarray, radius: int = 3) -> list[jnp.ndarray]:

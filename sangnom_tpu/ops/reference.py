@@ -169,9 +169,13 @@ _MAX_SCAN_BATCH = 8
 
 
 def interpolate_field_batch(
-    kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int
+    kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int,
+    plane_width: int | None = None,
 ) -> jnp.ndarray:
     """Batched-over-frames variant: [N, bufH, w] -> [N, bufH-1, w].
+
+    ``plane_width`` exists for interface parity with the sharded backend;
+    on the unsharded path the array width IS the plane width.
 
     The frame batch is the framework's analogue of the reference's
     MT_MULTI_INSTANCE frame parallelism (reference src/SangNom2.h:63-66) —

@@ -62,6 +62,7 @@ def deinterlace_plane_batch(
     spec: KernelSpec,
     stride: int,
     interp_fn: Callable,
+    plane_width: int | None = None,
 ) -> jnp.ndarray:
     """One plane, all frames: [N, h_src, w] -> [N, h_out, w].
 
@@ -86,9 +87,11 @@ def deinterlace_plane_batch(
         kept = jnp.take_along_axis(src, rows[..., None], axis=1)
 
     # backends take and return the storage dtype (widening happens inside —
-    # on the Pallas path the narrow dtype streams all the way into VMEM)
+    # on the Pallas path the narrow dtype streams all the way into VMEM);
+    # plane_width is only meaningful inside shard_map, where the local array
+    # width is stride-padded and the true width must come from outside
     with stage_scope("interpolate"):
-        interp = interp_fn(kept, aaf, spec, stride)
+        interp = interp_fn(kept, aaf, spec, stride, plane_width=plane_width)
 
     def weave(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
         return jnp.stack([top, bottom], axis=2).reshape(N, h_out, w)
@@ -105,14 +108,23 @@ def deinterlace_plane_batch(
     return jnp.where((offsets == 0)[:, None, None], out0, out1)
 
 
-def field_offsets(clip: Clip, order: int) -> Offset:
+def field_offsets(order: int, parity: jax.Array) -> Offset:
     """Per-frame kept-field offset (reference src/SangNom2.cpp:336-341):
-    order=0 consults per-frame parity (GetParity), 1 keeps top, 2 bottom."""
+    order=0 consults per-frame parity (GetParity), 1 keeps top, 2 bottom.
+    The single source of the order->offset mapping for every caller."""
     if order == 1:
         return 0
     if order == 2:
         return 1
-    return jnp.where(clip.parity_array(), 0, 1)  # [N] traced offsets
+    return jnp.where(parity, 0, 1)  # [N] traced offsets
+
+
+def field_offset_py(order: int, frame_parity: bool) -> int:
+    """Host-side scalar variant of `field_offsets` for numpy-path callers
+    (the native-oracle wrapper)."""
+    if order == 0:
+        return 0 if frame_parity else 1
+    return 0 if order == 1 else 1
 
 
 def sangnom2_impl(
@@ -127,12 +139,15 @@ def sangnom2_impl(
     chroma: bool,
     opt: int,
     interp_fn: Callable | None = None,
+    plane_widths: tuple | None = None,
+    stride: int | None = None,
 ):
     """The un-jitted whole-frame-batch transform over raw plane arrays.
 
     Shared by the single-device jit wrapper below and the sharded wrappers in
     sangnom_tpu.parallel (which call it inside `shard_map` with a
-    shard-local or halo-exchanging `interp_fn`)."""
+    halo-exchanging `interp_fn`, the GLOBAL `plane_widths` — local arrays are
+    stride-padded there — and the precomputed global `stride`)."""
     if interp_fn is None:
         interp_fn = _pick_backend(opt)
     spec = KernelSpec.from_format(fmt)
@@ -145,20 +160,19 @@ def sangnom2_impl(
         width=planes[0].shape[2],
     )
     aafs = scaled_aa_thresholds(aa, aac, fmt)
-    luma_w = planes[0].shape[2]
-    stride = buffer_stride_elems(luma_w, fmt.component_size)
+    if stride is None:
+        stride = buffer_stride_elems(planes[0].shape[2], fmt.component_size)
     process = [luma, chroma, chroma]
+    offsets = field_offsets(order, parity)
 
-    if order == 0:
-        offsets = jnp.where(parity, 0, 1)
-    else:
-        offsets = 0 if order == 1 else 1
-
-    def run_plane(p, aaf):
+    def run_plane(p, aaf, pw):
         return deinterlace_plane_batch(
             p, offsets, dh=dh, aaf=aaf, spec=spec, stride=stride,
-            interp_fn=interp_fn,
+            interp_fn=interp_fn, plane_width=pw,
         )
+
+    def width_of(i):
+        return None if plane_widths is None else plane_widths[i]
 
     out: dict[int, jnp.ndarray] = {}
     chroma_planes = [
@@ -173,7 +187,7 @@ def sangnom2_impl(
         n = planes[1].shape[0]
         res = deinterlace_plane_batch(
             uv, offs2, dh=dh, aaf=aaf_as_pixel(aafs[1], fmt), spec=spec,
-            stride=stride, interp_fn=interp_fn,
+            stride=stride, interp_fn=interp_fn, plane_width=width_of(1),
         )
         out[1], out[2] = res[:n], res[n:]
 
@@ -192,7 +206,7 @@ def sangnom2_impl(
             # SURVEY.md §2 quirk 7), so no skip in that case.
             out[i] = p
             continue
-        out[i] = run_plane(p, aaf_as_pixel(aafs[i], fmt))
+        out[i] = run_plane(p, aaf_as_pixel(aafs[i], fmt), width_of(i))
     return tuple(out[i] for i in range(len(planes)))
 
 

@@ -118,11 +118,9 @@ def sangnom2_frame_oracle(
     """Full frame through the native oracle (same orchestration contract as
     the framework: GetFrame semantics, reference src/SangNom2.cpp:332-397)."""
     from sangnom_tpu.core.geometry import scaled_aa_thresholds
+    from sangnom_tpu.ops.sangnom import field_offset_py
 
-    if order == 0:
-        offset = 0 if frame_parity else 1
-    else:
-        offset = 0 if order == 1 else 1
+    offset = field_offset_py(order, frame_parity)
     aafs = scaled_aa_thresholds(aa, aac, fmt)
     stride = buffer_stride_elems(planes[0].shape[1], fmt.component_size)
     process = [luma, chroma, chroma]

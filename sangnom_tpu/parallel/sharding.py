@@ -43,29 +43,21 @@ def default_mesh(
     return Mesh(np.asarray(devices[:n]).reshape(data, space), ("data", "space"))
 
 
-def _validate_width_sharding(clip: Clip, n_space: int) -> None:
-    """The width-sharded path requires every plane width to equal its buffer
-    stride (W % 32 == 0, so clamp-at-stride == clamp-at-width) and divide
-    evenly across the space axis."""
-    if clip.width % 32:
+def _validate_width_sharding(stride: int, n_space: int) -> None:
+    """Every plane is padded to the luma-derived buffer stride before
+    sharding, so the only requirements are on the stride itself."""
+    if stride % n_space:
         raise ValueError(
-            "width sharding requires the plane width to be a multiple of 32 "
-            f"(got {clip.width}); use data-only sharding otherwise"
+            f"buffer stride {stride} does not divide across "
+            f"{n_space} 'space' shards"
         )
-    for i in range(min(3, clip.num_planes)):
-        pw, _ = clip.format.plane_dims(clip.width, clip.height, i)
-        if pw % n_space:
-            raise ValueError(
-                f"plane {i} width {pw} does not divide across "
-                f"{n_space} 'space' shards"
-            )
-        if pw // n_space < 3:
-            # halo exchange reaches only the adjacent shard; every tap spans
-            # <= 3 columns, so each shard must own at least 3
-            raise ValueError(
-                f"plane {i} local width {pw // n_space} < 3: too many "
-                f"'space' shards for width {pw}"
-            )
+    if stride // n_space < 3:
+        # halo exchange reaches only the adjacent shard; every tap spans
+        # <= 3 columns, so each shard must own at least 3
+        raise ValueError(
+            f"local width {stride // n_space} < 3: too many 'space' "
+            f"shards for stride {stride}"
+        )
 
 
 def sangnom2_sharded(
@@ -89,38 +81,54 @@ def sangnom2_sharded(
     the smoothing recursion exchanges 3-column halos per row via ppermute.
     """
     from sangnom_tpu.api import _validate  # parameter surface parity
+    from sangnom_tpu.core.geometry import buffer_stride_elems
 
     _validate("SangNom2", clip, order, aa, aac, opt)
     del threads
 
     n_data = mesh.shape[data_axis]
     n_space = mesh.shape[space_axis] if space_axis else 1
+    fmt = clip.format
+    stride = buffer_stride_elems(clip.width, fmt.component_size)
     if space_axis:
-        _validate_width_sharding(clip, n_space)
+        _validate_width_sharding(stride, n_space)
 
     N = clip.num_frames
     pad = (-N) % n_data
-    planes = tuple(
-        jnp.pad(p, ((0, pad), (0, 0), (0, 0))) if pad else p
-        for p in clip.planes
-    )
+    widths = tuple(p.shape[2] for p in clip.planes)
+    planes = []
+    for p in clip.planes:
+        if pad:
+            p = jnp.pad(p, ((0, pad), (0, 0), (0, 0)))
+        if space_axis and p.shape[2] < stride:
+            # pad every plane to the buffer stride with EDGE REPLICATION:
+            # pixel taps that clamp at the true width then read the
+            # replicated edge pixel (loadPixel semantics), while the
+            # zero-defined raw-map padding is re-created inside the sharded
+            # kernel by a global-column mask (see parallel.width_sharded)
+            p = jnp.pad(p, ((0, 0), (0, 0), (0, stride - p.shape[2])),
+                        mode="edge")
+        planes.append(p)
+    planes = tuple(planes)
     parity = jnp.pad(clip.parity_array(), (0, pad)) if pad else clip.parity_array()
 
     if space_axis:
-        interp_fn = lambda kept, aaf, spec, stride: (  # noqa: E731
-            interpolate_field_width_sharded(kept, aaf, spec, space_axis)
+        interp_fn = (
+            lambda kept, aaf, spec, stride_, plane_width=None:  # noqa: E731
+            interpolate_field_width_sharded(
+                kept, aaf, spec, space_axis, plane_width
+            )
         )
         plane_spec = P(data_axis, None, space_axis)
+        impl_kw = dict(interp_fn=interp_fn, plane_widths=widths, stride=stride)
     else:
-        interp_fn = None  # per-shard default backend (Pallas on TPU)
         plane_spec = P(data_axis, None, None)
-
-    fmt = clip.format
+        impl_kw = dict(interp_fn=None)  # per-shard default backend
 
     def local(planes_loc, parity_loc):
         return sangnom2_impl(
             planes_loc, parity_loc, fmt, order, aa, aac, dh, luma, chroma,
-            opt, interp_fn=interp_fn,
+            opt, **impl_kw,
         )
 
     shmapped = jax.shard_map(
@@ -131,6 +139,5 @@ def sangnom2_sharded(
         check_vma=False,
     )
     out_planes = jax.jit(shmapped)(planes, parity)
-    if pad:
-        out_planes = tuple(p[:N] for p in out_planes)
+    out_planes = tuple(p[:N, :, :w] for p, w in zip(out_planes, widths))
     return clip.with_planes(out_planes)

@@ -8,10 +8,16 @@ the in-flight line with its neighbors at EVERY scan step via `lax.ppermute`
 — the structural analogue of ring/context-parallel halo exchange (SURVEY.md
 §5 "Long-context / sequence parallelism").
 
-Constraints (validated by the caller): the global plane width W must equal
-the buffer stride S (i.e. W % 32 == 0) and divide evenly across the mesh
-axis.  Global edge-clamp semantics are realized by substituting replicated
-edge columns for the missing neighbors of the first/last shard.
+Stride semantics: the caller pads every plane to the luma-derived buffer
+stride S with EDGE REPLICATION before sharding (sangnom_tpu.parallel.
+sharding), so (a) pixel taps that would clamp at the true plane width w read
+the replicated edge pixel — exactly loadPixel's clamp (reference
+src/SangNom2.cpp:25-34); (b) the smoothing clamp at S falls on the global
+array edge, realized by edge-replicated halos on the boundary shards; and
+(c) the zero-defined raw-map padding columns [w, S) (SURVEY.md §2 quirk 2)
+are recreated by masking raw maps against the GLOBAL column index — this is
+what makes horizontally subsampled chroma (w < S) bit-exact, including its
+observable zero-padding creep.
 """
 
 from __future__ import annotations
@@ -68,13 +74,15 @@ def _pair_values(curr_ext, nxt_ext, w_loc, spec):
 
 
 def interpolate_field_width_sharded(
-    kept: jnp.ndarray, aaf, spec: KernelSpec, axis_name: str
+    kept: jnp.ndarray, aaf, spec: KernelSpec, axis_name: str,
+    plane_width: int | None = None,
 ) -> jnp.ndarray:
     """Shard-local kept field [N, bufH, W_loc] -> [N, bufH-1, W_loc].
 
-    Must run inside `shard_map` with the width axis mapped to ``axis_name``.
-    Takes and returns the storage dtype; bit-exact to the unsharded backends
-    (given W == S globally).
+    Must run inside `shard_map` with the width axis mapped to ``axis_name``;
+    the global (unsharded) width is the buffer stride S, edge-replicated
+    beyond ``plane_width`` (see module docstring).  Takes and returns the
+    storage dtype; bit-exact to the unsharded backends.
     """
     out_dtype = kept.dtype
     kept = kept.astype(spec.acc_dtype)
@@ -101,6 +109,13 @@ def interpolate_field_width_sharded(
             abs_diff(cp3, nm3),
         ]
     )  # [9, N, bufH-1, W_loc]
+    if plane_width is not None:
+        # zero-defined raw padding beyond the TRUE plane width (global cols)
+        gcol = (
+            jax.lax.axis_index(axis_name) * w_loc
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w_loc), 3)
+        )
+        raw = jnp.where(gcol < plane_width, raw, jnp.zeros((), raw.dtype))
     raw = jnp.pad(raw, ((0, 0), (0, 0), (1, 1), (0, 0)))  # zero rows 0, bufH
 
     def step(prev_sm, xs):

@@ -21,7 +21,7 @@ def stage_scope(name: str):
 
 
 @contextlib.contextmanager
-def profile_trace(log_dir: str, *, host_tracer_level: int = 2):
+def profile_trace(log_dir: str):
     """Capture a jax.profiler trace of everything inside the context."""
     jax.profiler.start_trace(log_dir, create_perfetto_link=False)
     try:

@@ -104,3 +104,53 @@ def test_raw_truncated_rejected(rng):
     n = frame_size_bytes(fmt, 16, 8)
     with pytest.raises(ValueError, match="truncated"):
         read_raw(io.BytesIO(b"\0" * (n + 3)), fmt, 16, 8)
+
+
+def test_y4m_preserves_framerate_and_aspect(rng):
+    fmt = get_format("GRAY8")
+    clip = Clip.from_numpy([np.zeros((1, 8, 16), np.uint8)], fmt,
+                           props={"y4m_fps": (30000, 1001), "y4m_aspect": "4:3"})
+    buf = io.BytesIO()
+    write_y4m(buf, clip)  # defaults to the clip's stream framerate
+    head = bytes(buf.getbuffer()[:64])
+    assert b"F30000:1001" in head and b"A4:3" in head
+    buf.seek(0)
+    back = read_y4m(buf)
+    assert back.props["y4m_fps"] == (30000, 1001)
+    assert back.props["y4m_aspect"] == "4:3"
+
+
+def test_cli_bff_flag_changes_order0(rng, tmp_path):
+    """--bff must affect order=0 on the plain path, not only --bob."""
+    fmt = get_format("GRAY8")
+    plane = make_planes(rng, 16, 8, fmt)[0][None]
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([plane], fmt))
+    import os
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    outs = {}
+    for flag in ("--tff", "--bff"):
+        dst = tmp_path / f"out{flag}.y4m"
+        res = subprocess.run(
+            [sys.executable, "-m", "sangnom_tpu", str(src), str(dst),
+             "--order", "0", flag, "--opt", "0"],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert res.returncode == 0, res.stderr
+        outs[flag] = np.asarray(read_y4m(str(dst)).planes[0])
+    assert not np.array_equal(outs["--tff"], outs["--bff"])
+
+
+def test_cli_bad_fps_clean_error(rng, tmp_path):
+    import os
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([np.zeros((1, 8, 16), np.uint8)], fmt))
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src), str(tmp_path / "o.y4m"),
+         "--fps", "25"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 2
+    assert res.stderr.strip().startswith("error:")

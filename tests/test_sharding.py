@@ -97,21 +97,41 @@ def test_width_sharded_float(rng):
     _assert_clips_equal(got, want)
 
 
-def test_width_sharding_validation(rng):
-    mesh = default_mesh(data=1, space=4)
-    # width not a multiple of 32 (stride padding would be observable)
-    clip = _clip(rng, "GRAY8", 40, 16, n=2)
-    with pytest.raises(ValueError, match="multiple of 32"):
-        sangnom2_sharded(clip, mesh, space_axis="space")
-    # chroma local width below the 3-column halo radius
-    clip = _clip(rng, "YUV420P8", 32, 16, n=2)  # chroma w=16 -> 2 per shard
-    mesh8 = default_mesh(data=1, space=8)
-    with pytest.raises(ValueError, match="local width"):
-        sangnom2_sharded(clip, mesh8, space_axis="space")
-    # same geometry on fewer shards is fine (chroma 16/4 = 4 >= 3)
-    got = sangnom2_sharded(clip, mesh, space_axis="space")
-    want = sangnom2(clip, opt=0)
+def test_width_sharded_chroma_aac(rng):
+    """Regression: subsampled chroma smooths against the LUMA stride with
+    zero-defined padding (SURVEY.md §2 quirk 6); with aac > 0 the
+    directional select actually runs on chroma, exposing any stride-
+    semantics divergence in the sharded path."""
+    clip = _clip(rng, "YUV420P8", 64, 16, n=2)
+    mesh = default_mesh(data=2, space=4)
+    want = sangnom2(clip, opt=0, order=1, aa=48, aac=48)
+    got = sangnom2_sharded(clip, mesh, order=1, aa=48, aac=48,
+                           space_axis="space")
     _assert_clips_equal(got, want)
+    # 4:2:2 too (taller chroma, different padding-creep extent)
+    clip = _clip(rng, "YUV422P10", 64, 16, n=2)
+    want = sangnom2(clip, opt=0, order=2, aa=96, aac=96)
+    got = sangnom2_sharded(clip, mesh, order=2, aa=96, aac=96,
+                           space_axis="space")
+    _assert_clips_equal(got, want)
+
+
+def test_width_sharded_non_mod32_width(rng):
+    """Arbitrary widths: planes are edge-padded to the buffer stride before
+    sharding, so W need not divide anything."""
+    clip = _clip(rng, "GRAY8", 40, 16, n=2)  # stride 64, w 40
+    mesh = default_mesh(data=1, space=4)
+    want = sangnom2(clip, opt=0, order=1, aa=32)
+    got = sangnom2_sharded(clip, mesh, order=1, aa=32, space_axis="space")
+    _assert_clips_equal(got, want)
+
+
+def test_width_sharding_validation(rng):
+    clip = _clip(rng, "GRAY8", 32, 16, n=2)  # stride 32
+    # stride must divide across the space axis
+    mesh3 = default_mesh(data=2, space=3)
+    with pytest.raises(ValueError, match="does not divide"):
+        sangnom2_sharded(clip, mesh3, space_axis="space")
 
 
 def test_sharded_validates_params(rng):
