@@ -203,7 +203,7 @@ def _finalize(v, sm, aaf, spec: KernelSpec) -> jnp.ndarray:
 
 
 def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
-            spec, w, S, S_pad, n_steps, aaf):
+            spec, w, W_act, W_sm, S_clamp, n_steps, aaf):
     t = pl.program_id(0)
     # rows stream in the narrow STORAGE dtype (u8/u16/f32) and widen to the
     # accumulator inside VMEM — 4x less DMA for 8-bit planes
@@ -212,27 +212,38 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
     k1 = k1_ref[0].astype(acc)
     k2 = k2_ref[0].astype(acc)
 
+    def raw_of(v):
+        # raw maps live on the ACTIVE width; zero-extend to the smoothing
+        # width (columns beyond are zero-defined padding anyway)
+        m = _error_maps(v, spec, w, W_act)
+        if W_sm > W_act:
+            m = jnp.concatenate(
+                [m, jnp.zeros(m.shape[:-1] + (W_sm - W_act,), m.dtype)],
+                axis=-1,
+            )
+        return m
+
     @pl.when(t == 0)
     def _():
         # buffer row 0 is zero-defined; raw[1] comes from kept pair (0, 1),
         # whose taps/predictors seed the pair carry for this step's finalize
         v01 = _pair_values(k0, k1, spec, w)
         pair_ref[...] = jnp.stack(v01)
-        raw_ref[...] = _error_maps(v01, spec, w, S_pad)
+        raw_ref[...] = raw_of(v01)
         sm_ref[...] = jnp.zeros(sm_ref.shape, sm_ref.dtype)
 
     # pair (b-1, b) values, computed by the previous step (or above at t=0)
     pv = [pair_ref[i] for i in range(18)]
 
     v12 = _pair_values(k1, k2, spec, w)
-    raw_next = _error_maps(v12, spec, w, S_pad)
+    raw_next = raw_of(v12)
     # past the last pair, raw[bufH] is the zero-defined row
     raw_next = jnp.where(t < n_steps - 1, raw_next, jnp.zeros((), raw_next.dtype))
 
     # recursive smoothing step (reference src/SangNom2.cpp:126-159): the
     # vertical 3-sum uses the ALREADY-SMOOTHED previous row from scratch
     line = sm_ref[...] + raw_ref[...] + raw_next
-    h = _hbox7(line, S, S_pad, spec.is_float)
+    h = _hbox7(line, S_clamp, W_sm, spec.is_float)
     if spec.is_float:
         sm = h * jnp.float32(1.0 / 16.0)
     else:
@@ -240,7 +251,7 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
 
     # finalize values are already wrapped to the storage range; the cast
     # back to the narrow dtype is value-preserving
-    out_ref[0] = _finalize(pv, sm, aaf, spec).astype(out_ref.dtype)
+    out_ref[0] = _finalize(pv, sm[..., :W_act], aaf, spec).astype(out_ref.dtype)
     sm_ref[...] = sm
     raw_ref[...] = raw_next
     pair_ref[...] = jnp.stack(v12)
@@ -292,30 +303,45 @@ def _interp_chunk(
     S_pad = max(_round_up(S, 128), 128)
     n_steps = bufH - 1
 
-    # Row-major layout [row, frame, column]: blocks of one full [B, S_pad]
-    # row slab satisfy the TPU (sublane, lane) tiling rule for any B, and
-    # the sequential row walk is the leading (grid) dimension.
-    keptp = jnp.pad(kept, ((0, 0), (0, 1), (0, S_pad - w)))  # zero row below
-    keptp = jnp.moveaxis(keptp, 1, 0)  # [bufH+1, B, S_pad]
+    # Width tiers (all 128-lane aligned, all capped at S_pad):
+    # - ACTIVE width: pixel taps reach w+2 and output columns >= w are
+    #   discarded, so the prepare/finalize stages only need ~w columns.
+    # - SMOOTHING width: the zero-padding creep is observable out to
+    #   w + 3*bufH columns (3 columns/row through the recursion); beyond
+    #   that, the clamp position provably cannot influence any output
+    #   column < w, so the smoothing pass can stop there.
+    # For subsampled chroma (whose stride is LUMA-derived, SURVEY.md §2
+    # quirk 6: e.g. w=960, S=1920 at 1080p 4:2:0) this halves the
+    # prepare/finalize width while staying bit-exact.
+    W_act = min(S_pad, max(_round_up(w + 3, 128), 128))
+    W_sm = min(S_pad, max(_round_up(w + 3 * bufH + 3, 128), W_act))
+    S_clamp = min(S, W_sm)  # smoothing-tap clamp boundary
+
+    # Row-major layout [row, frame, column]: blocks of one full [B, W] row
+    # slab satisfy the TPU (sublane, lane) tiling rule for any B, and the
+    # sequential row walk is the leading (grid) dimension.
+    keptp = jnp.pad(kept, ((0, 0), (0, 1), (0, W_act - w)))  # zero row below
+    keptp = jnp.moveaxis(keptp, 1, 0)  # [bufH+1, B, W_act]
 
     kernel = functools.partial(
-        _kernel, spec=spec, w=w, S=S, S_pad=S_pad, n_steps=n_steps, aaf=aaf
+        _kernel, spec=spec, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
+        n_steps=n_steps, aaf=aaf,
     )
     row_view = lambda o: pl.BlockSpec(  # noqa: E731
-        (1, B, S_pad), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
+        (1, B, W_act), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[row_view(0), row_view(1), row_view(2)],
         out_specs=pl.BlockSpec(
-            (1, B, S_pad), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, B, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_steps, B, S_pad), kept.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_steps, B, W_act), kept.dtype),
         scratch_shapes=[
-            pltpu.VMEM((9, B, S_pad), spec.acc_dtype),  # smoothed row b-1
-            pltpu.VMEM((9, B, S_pad), spec.acc_dtype),  # raw row b
-            pltpu.VMEM((18, B, S_pad), spec.acc_dtype),  # pair taps/preds
+            pltpu.VMEM((9, B, W_sm), spec.acc_dtype),  # smoothed row b-1
+            pltpu.VMEM((9, B, W_sm), spec.acc_dtype),  # raw row b
+            pltpu.VMEM((18, B, W_act), spec.acc_dtype),  # pair taps/preds
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES

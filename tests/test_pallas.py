@@ -57,3 +57,10 @@ def test_pallas_order0_mixed_parity(rng):
 
 def test_pallas_aa_zero(rng):
     _run("GRAY8", 32, 16, rng, aa=0, aac=0)
+
+
+def test_pallas_reduced_width_tiers(rng):
+    """Subsampled chroma with a large luma stride exercises the kernel's
+    active/smoothing width reduction (W_act < W_sm < S_pad): chroma w=640
+    against stride 1280 -> W_act=768, W_sm=768+ depending on bufH."""
+    _run("YUV420P8", 1280, 32, rng, order=1, aa=48, aac=48)
