@@ -95,12 +95,16 @@ def main() -> None:
         f"-> {fps:.0f} frames/s (best of 3 trials, checksum-forced)")
 
     # --- measured baseline: native scalar oracle, single core --------------
-    n_oracle = 3
+    # best-of-N single frames: robust against transient CPU contention
+    # (an inflated baseline would understate vs_baseline, a deflated one
+    # would overstate it — take the oracle's true capability)
     frame = [p[0] for p in planes]
-    t0 = time.perf_counter()
-    for _ in range(n_oracle):
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
         sangnom2_frame_oracle(frame, fmt, **kwargs)
-    scalar_fps = n_oracle / (time.perf_counter() - t0)
+        best = min(best, time.perf_counter() - t0)
+    scalar_fps = 1.0 / best
     sse2_est = scalar_fps * SSE2_OVER_SCALAR
     log(f"native scalar oracle: {scalar_fps:.1f} fps "
         f"-> SSE2 estimate x{SSE2_OVER_SCALAR}: {sse2_est:.1f} fps")
