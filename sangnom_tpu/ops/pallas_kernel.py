@@ -269,6 +269,25 @@ def _kernel_batch(spec: KernelSpec) -> int:
     return 8  # int32/float32 accumulators tile at 8 sublanes
 
 
+def _width_tiers(w: int, bufH: int, S: int) -> tuple[int, int, int]:
+    """(W_act, W_sm, S_clamp) — all 128-lane aligned, capped at S_pad.
+
+    - ACTIVE width: pixel taps reach w+2 and output columns >= w are
+      discarded, so the prepare/finalize stages only need ~w columns.
+    - SMOOTHING width: the zero-padding creep is observable out to
+      w + 3*bufH columns (3 columns/row through the recursion); beyond
+      that, the clamp position provably cannot influence any output
+      column < w, so the smoothing pass can stop there.
+    For subsampled chroma (whose stride is LUMA-derived, SURVEY.md §2
+    quirk 6: e.g. w=960, S=1920 at 1080p 4:2:0) this halves the
+    prepare/finalize width while staying bit-exact.
+    """
+    S_pad = max(_round_up(S, 128), 128)
+    W_act = min(S_pad, max(_round_up(w + 3, 128), 128))
+    W_sm = min(S_pad, max(_round_up(w + 3 * bufH + 3, 128), W_act))
+    return W_act, W_sm, min(S, W_sm)
+
+
 def interpolate_field_batch(
     kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int,
     plane_width: int | None = None,
@@ -278,77 +297,72 @@ def interpolate_field_batch(
     ``plane_width`` exists for interface parity with the sharded backend
     (unsharded: array width == plane width).
 
-    Batches larger than the VMEM budget are processed in fixed-size chunks
-    via `lax.map` (sequential on the chip — the kernel is serial per core
+    Batches larger than the VMEM budget run in fixed-size chunks via
+    `lax.map` (sequential on the chip — the kernel is serial per core
     anyway; cross-chip scaling shards frames, see sangnom_tpu.parallel).
+    All layout work (pad, transpose) is hoisted OUT of the map body as a
+    few whole-batch XLA ops, so the map iterations are pure kernel
+    launches with no serialized per-chunk glue.
     """
     B, bufH, w = kept.shape
     if bufH < 2:
         return jnp.zeros((B, 0, w), kept.dtype)
-    g = _kernel_batch(spec)
-    if B > g:
-        pad = (-B) % g
-        kp = jnp.pad(kept, ((0, pad), (0, 0), (0, 0)))
-        chunks = kp.reshape(-1, g, bufH, w)
-        out = jax.lax.map(lambda c: _interp_chunk(c, aaf, spec, stride), chunks)
-        return out.reshape(-1, bufH - 1, w)[:B]
-    return _interp_chunk(kept, aaf, spec, stride)
-
-
-def _interp_chunk(
-    kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int
-) -> jnp.ndarray:
-    B, bufH, w = kept.shape
-    S = stride
-    S_pad = max(_round_up(S, 128), 128)
+    g = min(B, _kernel_batch(spec))
+    W_act, W_sm, S_clamp = _width_tiers(w, bufH, stride)
     n_steps = bufH - 1
 
-    # Width tiers (all 128-lane aligned, all capped at S_pad):
-    # - ACTIVE width: pixel taps reach w+2 and output columns >= w are
-    #   discarded, so the prepare/finalize stages only need ~w columns.
-    # - SMOOTHING width: the zero-padding creep is observable out to
-    #   w + 3*bufH columns (3 columns/row through the recursion); beyond
-    #   that, the clamp position provably cannot influence any output
-    #   column < w, so the smoothing pass can stop there.
-    # For subsampled chroma (whose stride is LUMA-derived, SURVEY.md §2
-    # quirk 6: e.g. w=960, S=1920 at 1080p 4:2:0) this halves the
-    # prepare/finalize width while staying bit-exact.
-    W_act = min(S_pad, max(_round_up(w + 3, 128), 128))
-    W_sm = min(S_pad, max(_round_up(w + 3 * bufH + 3, 128), W_act))
-    S_clamp = min(S, W_sm)  # smoothing-tap clamp boundary
+    pad = (-B) % g
+    G = (B + pad) // g
+    # one zero row below (raw[bufH] operand), zero columns out to W_act,
+    # frames padded to a whole number of chunks
+    kp = jnp.pad(kept, ((0, pad), (0, 1), (0, W_act - w)))
+    # [G, bufH+1, g, W_act]: row-major chunk layout in one big transpose
+    kp = jnp.moveaxis(kp.reshape(G, g, bufH + 1, W_act), 2, 1)
 
-    # Row-major layout [row, frame, column]: blocks of one full [B, W] row
-    # slab satisfy the TPU (sublane, lane) tiling rule for any B, and the
-    # sequential row walk is the leading (grid) dimension.
-    keptp = jnp.pad(kept, ((0, 0), (0, 1), (0, W_act - w)))  # zero row below
-    keptp = jnp.moveaxis(keptp, 1, 0)  # [bufH+1, B, W_act]
+    run = functools.partial(
+        _interp_chunk, aaf=aaf, spec=spec, g=g, n_steps=n_steps, w=w,
+        W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
+    )
+    if G == 1:
+        out = run(kp[0])[None]
+    else:
+        out = jax.lax.map(run, kp)  # [G, n_steps, g, W_act]
+    out = jnp.moveaxis(out, 2, 1).reshape(G * g, n_steps, W_act)
+    return out[:B, :, :w]
 
+
+def _interp_chunk(keptp, *, aaf, spec, g, n_steps, w, W_act, W_sm, S_clamp):
+    """keptp: [bufH+1, g, W_act] row-major chunk -> [n_steps, g, W_act].
+
+    Row-major layout: blocks of one full [g, W] row slab satisfy the TPU
+    (sublane, lane) tiling rule for any g, and the sequential row walk is
+    the leading (grid) dimension.
+    """
     kernel = functools.partial(
         _kernel, spec=spec, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
         n_steps=n_steps, aaf=aaf,
     )
     row_view = lambda o: pl.BlockSpec(  # noqa: E731
-        (1, B, W_act), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
+        (1, g, W_act), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[row_view(0), row_view(1), row_view(2)],
         out_specs=pl.BlockSpec(
-            (1, B, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_steps, B, W_act), kept.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_steps, g, W_act), keptp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((9, B, W_sm), spec.acc_dtype),  # smoothed row b-1
-            pltpu.VMEM((9, B, W_sm), spec.acc_dtype),  # raw row b
-            pltpu.VMEM((18, B, W_act), spec.acc_dtype),  # pair taps/preds
+            pltpu.VMEM((9, g, W_sm), spec.acc_dtype),  # smoothed row b-1
+            pltpu.VMEM((9, g, W_sm), spec.acc_dtype),  # raw row b
+            pltpu.VMEM((18, g, W_act), spec.acc_dtype),  # pair taps/preds
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=jax.default_backend() != "tpu",
     )(keptp, keptp, keptp)
-    return jnp.moveaxis(out, 0, 1)[..., :w]
 
 
 def interpolate_field(kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int):
