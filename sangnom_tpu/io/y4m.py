@@ -13,7 +13,7 @@ from typing import BinaryIO, Union
 import numpy as np
 
 from sangnom_tpu.core.clip import Clip
-from sangnom_tpu.core.formats import VideoFormat, get_format
+from sangnom_tpu.core.formats import get_format
 
 _COLORSPACE_TO_FORMAT = {
     "mono": "GRAY8",

@@ -10,7 +10,6 @@ plane's width shards over the ``space`` axis with ppermute halo exchange
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
