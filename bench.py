@@ -82,7 +82,7 @@ def main() -> None:
     iters = 10
     _ = float(checksum(sangnom2(clip, opt=-1, **kwargs).planes))  # warm
     dt = float("inf")
-    for _trial in range(3):
+    for _trial in range(5):
         t0 = time.perf_counter()
         acc = []
         for _ in range(iters):
@@ -92,7 +92,7 @@ def main() -> None:
         dt = min(dt, (time.perf_counter() - t0) / iters)
     fps = B / dt
     log(f"{backend} fused-pallas: {dt*1e3:.2f} ms / {B} frames "
-        f"-> {fps:.0f} frames/s (best of 3 trials, checksum-forced)")
+        f"-> {fps:.0f} frames/s (best of 5 trials, checksum-forced)")
 
     # --- measured baseline: native scalar oracle, single core --------------
     # best-of-N single frames: robust against transient CPU contention

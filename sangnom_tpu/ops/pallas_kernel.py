@@ -257,16 +257,21 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
     pair_ref[...] = jnp.stack(v12)
 
 
-# Frames per kernel invocation: bounds the [*, B, S_pad] VMEM carries and
-# kernel-body temporaries under the scoped-VMEM budget at 1080p widths.
-# int16 accumulators (8-bit planes) tile at 16 sublanes, so the frame batch
-# must be 16 to fill the tile; int32/float32 tile at 8.
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
-def _kernel_batch(spec: KernelSpec) -> int:
-    del spec
-    return 8  # int32/float32 accumulators tile at 8 sublanes
+def _kernel_batch(W_sm: int) -> int:
+    """Frames per kernel invocation.
+
+    Bigger chunks amortize per-grid-step cost (measured ~5% from 8 -> 64 at
+    1080p); the cap keeps the persistent VMEM carries (36 acc slabs of
+    [g, W_sm]) plus kernel-body temporaries inside the scoped-VMEM budget —
+    ~24 MB of carries at g=64, W_sm=1920.  Scales down for wider planes
+    (e.g. 4K) and clamps to the 8-sublane i32 tile.
+    """
+    budget = 24 * 1024 * 1024
+    g = budget // (144 * W_sm)  # 36 slabs x 4 bytes
+    return int(max(8, min(64, (g // 8) * 8)))
 
 
 def _width_tiers(w: int, bufH: int, S: int) -> tuple[int, int, int]:
@@ -307,8 +312,8 @@ def interpolate_field_batch(
     B, bufH, w = kept.shape
     if bufH < 2:
         return jnp.zeros((B, 0, w), kept.dtype)
-    g = min(B, _kernel_batch(spec))
     W_act, W_sm, S_clamp = _width_tiers(w, bufH, stride)
+    g = min(B, _kernel_batch(W_sm))
     n_steps = bufH - 1
 
     pad = (-B) % g
