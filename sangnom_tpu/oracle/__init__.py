@@ -31,10 +31,9 @@ def _compile() -> Path:
     _BUILD_DIR.mkdir(exist_ok=True)
     if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB
-    cmd = [
+    base = [
         os.environ.get("CXX", "g++"),
         "-O3",
-        "-march=native",
         "-std=c++17",
         "-shared",
         "-fPIC",
@@ -42,7 +41,12 @@ def _compile() -> Path:
         "-o",
         str(_LIB),
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(base[:2] + ["-march=native"] + base[2:], check=True,
+                       capture_output=True, text=True)
+    except subprocess.CalledProcessError:
+        # hosts without -march=native support (cross builds, odd toolchains)
+        subprocess.run(base, check=True, capture_output=True, text=True)
     return _LIB
 
 
