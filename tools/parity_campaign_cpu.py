@@ -1,0 +1,57 @@
+"""Big randomized parity campaign: jnp backend (opt=0) vs native oracle.
+
+Hundreds of random configs across the full parameter lattice, with larger
+frames than CI can afford. Any mismatch prints the full config.
+"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from sangnom_tpu import Clip, get_format, sangnom2
+from sangnom_tpu.oracle import sangnom2_frame_oracle
+
+FMTS = ["GRAY8", "GRAY10", "GRAY12", "GRAY14", "GRAY16", "GRAYS",
+        "YUV420P8", "YUV420P16", "YUV420PS", "YUV422P8", "YUV422P10",
+        "YUV422PS", "YUV444P8", "YUV444P12", "YUV444PS",
+        "YUVA420P8", "YUVA444P16"]
+
+fails = 0
+N = 300
+for case in range(N):
+    rng = np.random.default_rng(77000 + case)
+    fmt = get_format(FMTS[int(rng.integers(len(FMTS)))])
+    w = int(rng.integers(1, 90)) * 2          # 2..178
+    h = int(rng.integers(1, 24)) * 4          # 4..92
+    order = int(rng.integers(0, 3))
+    aa = int(rng.integers(0, 129)); aac = int(rng.integers(0, 129))
+    dh = bool(rng.integers(0, 2))
+    luma = bool(rng.integers(0, 2)); chroma = bool(rng.integers(0, 2))
+    tff = bool(rng.integers(0, 2))
+    planes = []
+    for i in range(fmt.num_planes):
+        pw, ph = fmt.plane_dims(w, h, i)
+        if fmt.is_float:
+            planes.append((rng.random((ph, pw), np.float32)*2-0.5).astype(np.float32))
+        else:
+            top = (1 << (8*fmt.component_size)) - 1
+            planes.append(rng.integers(0, top+1, (ph, pw)).astype(fmt.dtype))
+    clip = Clip.from_numpy([p[None] for p in planes], fmt, tff=tff)
+    got = sangnom2(clip, order=order, aa=aa, aac=aac, dh=dh,
+                   luma=luma, chroma=chroma, opt=0)
+    want = sangnom2_frame_oracle(planes, fmt, order=order, aa=aa, aac=aac,
+                                 dh=dh, luma=luma, chroma=chroma,
+                                 frame_parity=tff)
+    for i, wp in enumerate(want):
+        g = np.asarray(got.planes[i])[0]
+        if not np.array_equal(g, wp):
+            fails += 1
+            d = (g.astype(np.float64) - wp.astype(np.float64))
+            print(f"MISMATCH case {case}: {fmt.name} {w}x{h} order={order} "
+                  f"aa={aa} aac={aac} dh={dh} luma={luma} chroma={chroma} "
+                  f"tff={tff} plane {i}: {np.count_nonzero(d)} px, "
+                  f"max {np.abs(d).max()}", flush=True)
+    if case % 50 == 49:
+        print(f"{case+1}/{N} done, {fails} failures", flush=True)
+print(f"CAMPAIGN DONE: {N} configs, {fails} failures")

@@ -1,0 +1,47 @@
+"""TPU campaign: fused Pallas kernel (opt=1) vs native oracle on real
+hardware, across format families and geometries (a fixed shape set to bound
+remote compiles), including chroma width-tier cases and batch chunking.
+"""
+import numpy as np
+from sangnom_tpu import Clip, get_format, sangnom2
+from sangnom_tpu.oracle import sangnom2_frame_oracle
+
+CASES = [
+    # (fmt, w, h, n, kwargs)
+    ("GRAY8", 640, 480, 2, dict(order=1)),                 # BASELINE cfg 1
+    ("YUV420P8", 640, 480, 2, dict(order=2)),              # cfg 2
+    ("YUV420P8", 640, 480, 2, dict(order=1, dh=True)),     # cfg 3
+    ("YUV422P10", 1920, 540, 2, dict(order=0, dh=True)),   # cfg 4 (1080i bob)
+    ("GRAY16", 1920, 1080, 1, dict(order=1, aa=128, aac=64)),  # cfg 5
+    ("YUV444PS", 960, 540, 1, dict(order=2, aa=48, aac=16)),   # cfg 5 float
+    ("YUV420P8", 1920, 1080, 9, dict(order=1, aa=48, aac=48)),  # chunk+tiers
+    ("GRAY8", 1919, 1080, 1, dict(order=2)),               # odd width
+    ("YUVA420P8", 640, 480, 1, dict(order=1, dh=True)),    # alpha + dh
+]
+
+fails = 0
+for k, (fname, w, h, n, kw) in enumerate(CASES):
+    rng = np.random.default_rng(500 + k)
+    fmt = get_format(fname)
+    planes = []
+    for i in range(fmt.num_planes):
+        pw, ph = fmt.plane_dims(w, h, i)
+        if fmt.is_float:
+            planes.append((rng.random((n, ph, pw), np.float32)*2-0.5).astype(np.float32))
+        else:
+            top = (1 << (8*fmt.component_size)) - 1
+            planes.append(rng.integers(0, top+1, (n, ph, pw)).astype(fmt.dtype))
+    clip = Clip.from_numpy(planes, fmt)
+    got = sangnom2(clip, opt=1, **kw)
+    # check first and last frame against the oracle
+    for fr in {0, n - 1}:
+        want = sangnom2_frame_oracle([p[fr] for p in planes], fmt,
+                                     frame_parity=clip.get_parity(fr), **kw)
+        for i, wp in enumerate(want):
+            g = np.asarray(got.planes[i])[fr]
+            if not np.array_equal(g, wp):
+                fails += 1
+                print(f"MISMATCH {fname} {w}x{h} {kw} frame {fr} plane {i}",
+                      flush=True)
+    print(f"[{k+1}/{len(CASES)}] {fname} {w}x{h} n={n} {kw}: OK", flush=True)
+print(f"TPU CAMPAIGN DONE: {len(CASES)} cases, {fails} failures")
