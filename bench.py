@@ -30,6 +30,48 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _extra_configs(Clip, get_format, sangnom2, checksum, rng):
+    """--all: the other BASELINE.json configs, reported to stderr."""
+    import time
+
+    import jax
+    import numpy as np
+
+    cases = [
+        ("cfg1 640x480 GRAY8 order=1", "GRAY8", 640, 480, dict(order=1)),
+        ("cfg2 640x480 YUV420P8 order=2", "YUV420P8", 640, 480, dict(order=2)),
+        ("cfg4 1080i YUV422P10 bob(dh)", "YUV422P10", 1920, 540,
+         dict(order=0, dh=True)),
+        ("cfg5 1080p GRAY16 aa=128", "GRAY16", 1920, 1080,
+         dict(order=1, aa=128, aac=64)),
+        ("cfg5f 540p YUV444PS", "YUV444PS", 960, 540, dict(order=2)),
+    ]
+    B = 16
+    for name, fname, w, h, kw in cases:
+        fmt = get_format(fname)
+        planes = []
+        for i in range(fmt.num_planes):
+            pw, ph = fmt.plane_dims(w, h, i)
+            if fmt.is_float:
+                planes.append(rng.random((B, ph, pw), np.float32))
+            else:
+                top = (1 << (8 * fmt.component_size)) - 1
+                planes.append(
+                    rng.integers(0, top + 1, (B, ph, pw)).astype(fmt.dtype))
+        clip = Clip.from_numpy(planes, fmt)
+        _ = float(checksum(sangnom2(clip, opt=-1, **kw).planes))  # warm
+        best = float("inf")
+        for _t in range(3):
+            t0 = time.perf_counter()
+            import jax.numpy as jnp
+            acc = []
+            for _ in range(5):
+                acc.append(checksum(sangnom2(clip, opt=-1, **kw).planes))
+            np.asarray(jnp.stack(acc))
+            best = min(best, (time.perf_counter() - t0) / 5)
+        log(f"  {name}: {B / best:8.0f} frames/s")
+
+
 def main() -> None:
     import jax
 
@@ -108,6 +150,10 @@ def main() -> None:
     sse2_est = scalar_fps * SSE2_OVER_SCALAR
     log(f"native scalar oracle: {scalar_fps:.1f} fps "
         f"-> SSE2 estimate x{SSE2_OVER_SCALAR}: {sse2_est:.1f} fps")
+
+    if "--all" in sys.argv:
+        log("extra configs (BASELINE.json list):")
+        _extra_configs(Clip, get_format, sangnom2, checksum, rng)
 
     print(json.dumps({
         "metric": "1080p_bob_dh_fps_per_chip",
