@@ -16,7 +16,7 @@ import sys
 import time
 
 from sangnom_tpu import __version__, sangnom, sangnom2
-from sangnom_tpu.io import read_y4m, write_y4m
+from sangnom_tpu.io import iter_y4m, read_y4m, write_y4m, write_y4m_frames
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force bottom-field-first")
     p.add_argument("--frames", type=int, default=None,
                    help="process at most N frames")
+    p.add_argument("--window", type=int, default=None,
+                   help="stream in windows of N frames (bounded memory for "
+                   "long inputs; default: whole clip at once)")
     p.add_argument("--fps", default=None,
                    help="output framerate N:D (default: input stream's)")
     p.add_argument("--version", action="version",
@@ -85,27 +88,10 @@ def main(argv: list[str] | None = None) -> int:
             fps = (num, den)
         else:
             fps = None
+        if args.window is not None:
+            return _run_windowed(src, dst, args, fps, t0)
         clip = read_y4m(src, max_frames=args.frames)
-        if args.tff is not None:
-            # force field dominance over the stream's interlace flag
-            # (applies to every mode, not just --bob)
-            from sangnom_tpu import Clip
-
-            clip = Clip(clip.planes, clip.format, parity=None,
-                        tff=args.tff, props=clip.props)
-        if args.bob:
-            from sangnom_tpu import bob as bob_fn
-
-            out = bob_fn(clip, aa=args.aa, aac=args.aac, luma=args.luma,
-                         chroma=args.chroma, opt=args.opt, tff=args.tff)
-        elif args.legacy:
-            out = sangnom(clip, order=args.order, aa=args.aa, opt=args.opt)
-        else:
-            out = sangnom2(
-                clip, order=args.order, aa=args.aa, aac=args.aac,
-                threads=args.threads, dh=args.dh, luma=args.luma,
-                chroma=args.chroma, opt=args.opt,
-            )
+        out = _filter_one(_override_tff(clip, args), args)
     except (SangNomError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -119,6 +105,92 @@ def main(argv: list[str] | None = None) -> int:
         f"{clip.num_frames} frames {clip.width}x{clip.height} -> "
         f"{out.width}x{out.height} in {dt:.2f}s "
         f"({clip.num_frames / dt:.1f} fps end-to-end)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _override_tff(clip, args):
+    if args.tff is None:
+        return clip
+    # force field dominance over the stream's interlace flag
+    # (applies to every mode, not just --bob)
+    from sangnom_tpu import Clip
+
+    return Clip(clip.planes, clip.format, parity=None, tff=args.tff,
+                props=clip.props)
+
+
+def _filter_one(clip, args):
+    if args.bob:
+        from sangnom_tpu import bob as bob_fn
+
+        return bob_fn(clip, aa=args.aa, aac=args.aac, luma=args.luma,
+                      chroma=args.chroma, opt=args.opt, tff=args.tff)
+    if args.legacy:
+        return sangnom(clip, order=args.order, aa=args.aa, opt=args.opt)
+    return sangnom2(
+        clip, order=args.order, aa=args.aa, aac=args.aac,
+        threads=args.threads, dh=args.dh, luma=args.luma,
+        chroma=args.chroma, opt=args.opt,
+    )
+
+
+def _run_windowed(src, dst, args, fps, t0) -> int:
+    """Streaming mode: process in --window sized batches, write
+    incrementally.  The filter has no temporal taps so windows are exact;
+    the bob pipeline pairs each frame's trailing field with the NEXT
+    frame's leading field, so windows are processed with one frame of
+    lookahead and the overlap outputs dropped."""
+    from sangnom_tpu import Clip
+    from sangnom_tpu.api import SangNomError
+
+    fh = open(dst, "wb") if isinstance(dst, (str, bytes)) else dst
+    close = isinstance(dst, (str, bytes))
+    state = {"header": False, "out": 0, "in": 0, "shape": None}
+
+    def emit(out_clip, in_props):
+        f = fps or in_props.get("y4m_fps", (25, 1))
+        if args.bob:
+            f = (f[0] * 2, f[1])
+        if not state["header"]:
+            write_y4m(fh, out_clip, fps=f)
+            state["header"] = True
+        else:
+            write_y4m_frames(fh, out_clip)
+        state["out"] += out_clip.num_frames
+        state["shape"] = (out_clip.width, out_clip.height)
+
+    pending = None
+    try:
+        for w in iter_y4m(src, args.window, max_frames=args.frames):
+            w = _override_tff(w, args)
+            state["in"] += w.num_frames
+            if args.bob:
+                if pending is not None:
+                    feed = Clip.concat(pending, w[0:1])  # 1-frame lookahead
+                    out = _filter_one(feed, args)
+                    emit(out[0 : 2 * pending.num_frames], pending.props)
+                pending = w
+            else:
+                emit(_filter_one(w, args), w.props)
+        if args.bob and pending is not None:
+            # final window: the degenerate last pairing, as unwindowed
+            emit(_filter_one(pending, args), pending.props)
+        if state["in"] == 0:
+            raise ValueError("y4m stream contains no frames")
+    except (SangNomError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    finally:
+        if close:
+            fh.close()
+    dt = time.perf_counter() - t0
+    w_, h_ = state["shape"]
+    print(
+        f"{state['in']} frames -> {state['out']} frames {w_}x{h_} in "
+        f"{dt:.2f}s ({state['in'] / dt:.1f} fps end-to-end, "
+        f"window={args.window})",
         file=sys.stderr,
     )
     return 0

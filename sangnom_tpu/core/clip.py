@@ -93,6 +93,33 @@ class Clip:
         arrs = [jnp.asarray(np.ascontiguousarray(p), dtype=fmt.dtype) for p in planes]
         return cls(arrs, fmt, **kw)
 
+    def __getitem__(self, s) -> "Clip":
+        """Frame-range slicing: clip[2:5] -> a 3-frame Clip."""
+        if isinstance(s, int):
+            s = slice(s, s + 1 if s != -1 else None)
+        parity = self.parity[s] if self.parity is not None else None
+        return Clip(
+            [p[s] for p in self.planes], self.format,
+            parity=parity, tff=self.tff, props=self.props,
+        )
+
+    @classmethod
+    def concat(cls, *clips: "Clip") -> "Clip":
+        """Concatenate clips along the frame axis (formats must match)."""
+        first = clips[0]
+        if any(c.format.name != first.format.name for c in clips):
+            raise ValueError("concat: mismatched formats")
+        planes = [
+            jnp.concatenate([c.planes[i] for c in clips], axis=0)
+            for i in range(first.num_planes)
+        ]
+        parity = (
+            jnp.concatenate([c.parity_array() for c in clips])
+            if any(c.parity is not None for c in clips) else None
+        )
+        return cls(planes, first.format, parity=parity, tff=first.tff,
+                   props=first.props)
+
     def with_planes(self, planes: Sequence[jax.Array], format=None) -> "Clip":
         """Functional update preserving parity/props (frame-prop carry-over,
         the analogue of reference src/SangNom2.cpp:344)."""

@@ -7,4 +7,9 @@ speak it), so it is the host-boundary format here.
 """
 
 from sangnom_tpu.io.raw import frame_size_bytes, read_raw, write_raw  # noqa: F401
-from sangnom_tpu.io.y4m import read_y4m, write_y4m  # noqa: F401
+from sangnom_tpu.io.y4m import (  # noqa: F401
+    iter_y4m,
+    read_y4m,
+    write_y4m,
+    write_y4m_frames,
+)

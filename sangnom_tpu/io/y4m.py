@@ -49,72 +49,120 @@ def _open(f: Union[str, BinaryIO], mode: str):
     return f, False
 
 
+def _parse_header(fh) -> dict:
+    header = fh.readline().decode("ascii", "replace").strip()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    cs = "420"
+    interlace = "p"
+    fps = (25, 1)
+    aspect = "1:1"
+    for tok in header.split()[1:]:
+        key, val = tok[0], tok[1:]
+        if key == "W":
+            width = int(val)
+        elif key == "H":
+            height = int(val)
+        elif key == "C":
+            cs = val.lower()
+        elif key == "I":
+            interlace = val.lower()
+        elif key == "F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif key == "A":
+            aspect = val
+    if width is None or height is None:
+        raise ValueError("y4m header missing W/H")
+    if cs not in _COLORSPACE_TO_FORMAT:
+        raise ValueError(f"unsupported y4m colorspace C{cs}")
+    fmt = get_format(_COLORSPACE_TO_FORMAT[cs])
+    dt = np.dtype("<u2") if fmt.component_size == 2 else np.dtype("u1")
+    geom = [fmt.plane_dims(width, height, i) for i in range(fmt.num_planes)]
+    return dict(
+        fmt=fmt, dt=dt, geom=geom, interlace=interlace, fps=fps,
+        aspect=aspect,
+        frame_bytes=sum(pw * ph * dt.itemsize for pw, ph in geom),
+    )
+
+
+def _read_frame_block(fh, info, max_frames):
+    """Read up to max_frames frames after the header; [] at EOF."""
+    frames = []
+    while max_frames is None or len(frames) < max_frames:
+        line = fh.readline()
+        if not line:
+            break
+        if not line.startswith(b"FRAME"):
+            raise ValueError(f"expected FRAME marker, got {line[:20]!r}")
+        buf = fh.read(info["frame_bytes"])
+        if len(buf) < info["frame_bytes"]:
+            raise ValueError("truncated y4m frame")
+        planes, off = [], 0
+        for pw, ph in info["geom"]:
+            planes.append(
+                np.frombuffer(buf, info["dt"], count=pw * ph, offset=off)
+                .reshape(ph, pw)
+            )
+            off += pw * ph * info["dt"].itemsize
+        frames.append(planes)
+    return frames
+
+
+def _to_clip(frames, info) -> Clip:
+    fmt = info["fmt"]
+    stacked = [
+        np.stack([fr[i] for fr in frames]).astype(fmt.dtype)
+        for i in range(fmt.num_planes)
+    ]
+    return Clip.from_numpy(
+        stacked, fmt, tff=(info["interlace"] != "b"),
+        props={"y4m_interlace": info["interlace"], "y4m_fps": info["fps"],
+               "y4m_aspect": info["aspect"]},
+    )
+
+
 def read_y4m(f: Union[str, BinaryIO], max_frames: int | None = None) -> Clip:
     """Parse a .y4m stream into a Clip (all frames device-ready numpy)."""
     fh, close = _open(f, "rb")
     try:
-        header = fh.readline().decode("ascii", "replace").strip()
-        if not header.startswith("YUV4MPEG2"):
-            raise ValueError("not a YUV4MPEG2 stream")
-        width = height = None
-        cs = "420"
-        interlace = "p"
-        fps = (25, 1)
-        aspect = "1:1"
-        for tok in header.split()[1:]:
-            key, val = tok[0], tok[1:]
-            if key == "W":
-                width = int(val)
-            elif key == "H":
-                height = int(val)
-            elif key == "C":
-                cs = val.lower()
-            elif key == "I":
-                interlace = val.lower()
-            elif key == "F":
-                num, den = val.split(":")
-                fps = (int(num), int(den))
-            elif key == "A":
-                aspect = val
-        if width is None or height is None:
-            raise ValueError("y4m header missing W/H")
-        if cs not in _COLORSPACE_TO_FORMAT:
-            raise ValueError(f"unsupported y4m colorspace C{cs}")
-        fmt = get_format(_COLORSPACE_TO_FORMAT[cs])
-
-        dt = np.dtype("<u2") if fmt.component_size == 2 else np.dtype("u1")
-        plane_geom = [fmt.plane_dims(width, height, i) for i in range(fmt.num_planes)]
-        frame_bytes = sum(pw * ph * dt.itemsize for pw, ph in plane_geom)
-
-        frames: list[list[np.ndarray]] = []
-        while max_frames is None or len(frames) < max_frames:
-            line = fh.readline()
-            if not line:
-                break
-            if not line.startswith(b"FRAME"):
-                raise ValueError(f"expected FRAME marker, got {line[:20]!r}")
-            buf = fh.read(frame_bytes)
-            if len(buf) < frame_bytes:
-                raise ValueError("truncated y4m frame")
-            planes, off = [], 0
-            for pw, ph in plane_geom:
-                n = pw * ph * dt.itemsize
-                planes.append(
-                    np.frombuffer(buf, dt, count=pw * ph, offset=off).reshape(ph, pw)
-                )
-                off += n
-            frames.append(planes)
+        info = _parse_header(fh)
+        frames = _read_frame_block(fh, info, max_frames)
         if not frames:
             raise ValueError("y4m stream contains no frames")
-        stacked = [
-            np.stack([fr[i] for fr in frames]).astype(fmt.dtype)
-            for i in range(fmt.num_planes)
-        ]
-        return Clip.from_numpy(
-            stacked, fmt, tff=(interlace != "b"),
-            props={"y4m_interlace": interlace, "y4m_fps": fps,
-                   "y4m_aspect": aspect},
-        )
+        return _to_clip(frames, info)
+    finally:
+        if close:
+            fh.close()
+
+
+def iter_y4m(
+    f: Union[str, BinaryIO], window: int, max_frames: int | None = None
+):
+    """Stream a .y4m source as Clips of up to ``window`` frames each —
+    bounded memory for arbitrarily long streams.  The filter is per-frame
+    independent (no temporal taps), so windowed processing is exact; only
+    the bob pipeline needs one frame of lookahead across windows (handled
+    by the CLI's --window mode)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    total = 0
+    fh, close = _open(f, "rb")
+    try:
+        info = _parse_header(fh)
+        while max_frames is None or total < max_frames:
+            take = (
+                window if max_frames is None
+                else min(window, max_frames - total)
+            )
+            frames = _read_frame_block(fh, info, take)
+            if not frames:
+                return
+            total += len(frames)
+            yield _to_clip(frames, info)
+            if len(frames) < take:
+                return
     finally:
         if close:
             fh.close()
@@ -139,12 +187,18 @@ def write_y4m(f: Union[str, BinaryIO], clip: Clip,
             f"YUV4MPEG2 W{clip.width} H{clip.height} "
             f"F{fps[0]}:{fps[1]} I{interlace} A{aspect} C{cs}\n".encode()
         )
-        arrs = [np.asarray(p) for p in clip.planes]
-        dt = np.dtype("<u2") if clip.format.component_size == 2 else np.dtype("u1")
-        for n in range(clip.num_frames):
-            fh.write(b"FRAME\n")
-            for p in arrs:
-                fh.write(np.ascontiguousarray(p[n]).astype(dt).tobytes())
+        write_y4m_frames(fh, clip)
     finally:
         if close:
             fh.close()
+
+
+def write_y4m_frames(fh: BinaryIO, clip: Clip) -> None:
+    """Append FRAME records to an already-headered stream (the incremental
+    half of write_y4m — used by windowed/streaming processing)."""
+    arrs = [np.asarray(p) for p in clip.planes]
+    dt = np.dtype("<u2") if clip.format.component_size == 2 else np.dtype("u1")
+    for n in range(clip.num_frames):
+        fh.write(b"FRAME\n")
+        for p in arrs:
+            fh.write(np.ascontiguousarray(p[n]).astype(dt).tobytes())

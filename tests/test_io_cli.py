@@ -154,3 +154,49 @@ def test_cli_bad_fps_clean_error(rng, tmp_path):
     )
     assert res.returncode == 2
     assert res.stderr.strip().startswith("error:")
+
+
+# -- streaming / windowed mode ------------------------------------------------
+def test_iter_y4m_windows(rng):
+    from sangnom_tpu.io import iter_y4m
+
+    fmt = get_format("GRAY8")
+    planes = [np.stack([make_planes(rng, 16, 8, fmt)[0] for _ in range(7)])]
+    clip = Clip.from_numpy(planes, fmt)
+    buf = io.BytesIO()
+    write_y4m(buf, clip, fps=(30, 1))
+    buf.seek(0)
+    sizes = []
+    got = []
+    for w in iter_y4m(buf, window=3):
+        sizes.append(w.num_frames)
+        assert w.props["y4m_fps"] == (30, 1)
+        got.append(np.asarray(w.planes[0]))
+    assert sizes == [3, 3, 1]
+    np.testing.assert_array_equal(np.concatenate(got), planes[0])
+
+
+@pytest.mark.parametrize("mode", [[], ["--bob"]])
+def test_cli_windowed_matches_whole_clip(rng, tmp_path, mode):
+    """--window output must be byte-identical to whole-clip processing,
+    including the bob pipeline's cross-window field pairing."""
+    import os
+
+    fmt = get_format("YUV420P8")
+    frames = [make_planes(rng, 32, 16, fmt) for _ in range(7)]
+    planes = [np.stack([f[i] for f in frames]) for i in range(3)]
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy(planes, fmt), fps=(30, 1))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+    outs = {}
+    for tag, extra in (("whole", []), ("win", ["--window", "3"])):
+        dst = tmp_path / f"{tag}.y4m"
+        res = subprocess.run(
+            [sys.executable, "-m", "sangnom_tpu", str(src), str(dst),
+             "--opt", "0", *mode, *extra],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert res.returncode == 0, res.stderr
+        outs[tag] = dst.read_bytes()
+    assert outs["whole"] == outs["win"]
