@@ -34,7 +34,7 @@ def _extra_configs(Clip, get_format, sangnom2, checksum, rng):
     """--all: the other BASELINE.json configs, reported to stderr."""
     import time
 
-    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     cases = [
@@ -63,7 +63,6 @@ def _extra_configs(Clip, get_format, sangnom2, checksum, rng):
         best = float("inf")
         for _t in range(3):
             t0 = time.perf_counter()
-            import jax.numpy as jnp
             acc = []
             for _ in range(5):
                 acc.append(checksum(sangnom2(clip, opt=-1, **kw).planes))

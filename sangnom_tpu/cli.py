@@ -92,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             return _run_windowed(src, dst, args, fps, t0)
         clip = read_y4m(src, max_frames=args.frames)
         out = _filter_one(_override_tff(clip, args), args)
-    except (SangNomError, ValueError) as e:
+    except (SangNomError, ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     if fps is None:
@@ -145,19 +145,22 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
     from sangnom_tpu import Clip
     from sangnom_tpu.api import SangNomError
 
-    fh = open(dst, "wb") if isinstance(dst, (str, bytes)) else dst
-    close = isinstance(dst, (str, bytes))
-    state = {"header": False, "out": 0, "in": 0, "shape": None}
+    # opened lazily at the first emit so a failed run never truncates a
+    # pre-existing output file (matching whole-clip mode's behavior)
+    state = {"fh": None, "close": False, "out": 0, "in": 0, "shape": None}
 
     def emit(out_clip, in_props):
         f = fps or in_props.get("y4m_fps", (25, 1))
         if args.bob:
             f = (f[0] * 2, f[1])
-        if not state["header"]:
-            write_y4m(fh, out_clip, fps=f)
-            state["header"] = True
+        if state["fh"] is None:
+            if isinstance(dst, (str, bytes)):
+                state["fh"], state["close"] = open(dst, "wb"), True
+            else:
+                state["fh"] = dst
+            write_y4m(state["fh"], out_clip, fps=f)
         else:
-            write_y4m_frames(fh, out_clip)
+            write_y4m_frames(state["fh"], out_clip)
         state["out"] += out_clip.num_frames
         state["shape"] = (out_clip.width, out_clip.height)
 
@@ -179,12 +182,12 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
             emit(_filter_one(pending, args), pending.props)
         if state["in"] == 0:
             raise ValueError("y4m stream contains no frames")
-    except (SangNomError, ValueError) as e:
+    except (SangNomError, ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     finally:
-        if close:
-            fh.close()
+        if state["close"] and state["fh"] is not None:
+            state["fh"].close()
     dt = time.perf_counter() - t0
     w_, h_ = state["shape"]
     print(

@@ -94,9 +94,14 @@ class Clip:
         return cls(arrs, fmt, **kw)
 
     def __getitem__(self, s) -> "Clip":
-        """Frame-range slicing: clip[2:5] -> a 3-frame Clip."""
+        """Frame-range slicing: clip[2:5] -> a 3-frame Clip; a single int
+        yields a 1-frame Clip (bounds-checked)."""
         if isinstance(s, int):
-            s = slice(s, s + 1 if s != -1 else None)
+            n = self.num_frames
+            if not -n <= s < n:
+                raise IndexError(f"frame {s} out of range for {n} frames")
+            s = s % n
+            s = slice(s, s + 1)
         parity = self.parity[s] if self.parity is not None else None
         return Clip(
             [p[s] for p in self.planes], self.format,
@@ -105,7 +110,9 @@ class Clip:
 
     @classmethod
     def concat(cls, *clips: "Clip") -> "Clip":
-        """Concatenate clips along the frame axis (formats must match)."""
+        """Concatenate clips along the frame axis (formats must match).
+        Differing field dominance is preserved by materializing the
+        per-frame parity array."""
         first = clips[0]
         if any(c.format.name != first.format.name for c in clips):
             raise ValueError("concat: mismatched formats")
@@ -113,10 +120,11 @@ class Clip:
             jnp.concatenate([c.planes[i] for c in clips], axis=0)
             for i in range(first.num_planes)
         ]
-        parity = (
-            jnp.concatenate([c.parity_array() for c in clips])
-            if any(c.parity is not None for c in clips) else None
-        )
+        if (any(c.parity is not None for c in clips)
+                or any(c.tff != first.tff for c in clips)):
+            parity = jnp.concatenate([c.parity_array() for c in clips])
+        else:
+            parity = None
         return cls(planes, first.format, parity=parity, tff=first.tff,
                    props=first.props)
 

@@ -313,7 +313,12 @@ def interpolate_field_batch(
     if bufH < 2:
         return jnp.zeros((B, 0, w), kept.dtype)
     W_act, W_sm, S_clamp = _width_tiers(w, bufH, stride)
-    g = min(B, _kernel_batch(W_sm))
+    # Balance chunk size across the minimum number of chunks, so padding
+    # stays under one sublane tile per chunk (a flat g=64 would pad a
+    # 65-frame batch to 128 — ~2x wasted work).
+    n_chunks = -(-B // _kernel_batch(W_sm))
+    per_chunk = -(-B // n_chunks)
+    g = min(B, _round_up(per_chunk, 8))
     n_steps = bufH - 1
 
     pad = (-B) % g

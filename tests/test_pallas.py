@@ -61,6 +61,12 @@ def test_pallas_aa_zero(rng):
 
 def test_pallas_reduced_width_tiers(rng):
     """Subsampled chroma with a large luma stride exercises the kernel's
-    active/smoothing width reduction (W_act < W_sm < S_pad): chroma w=640
-    against stride 1280 -> W_act=768, W_sm=768+ depending on bufH."""
-    _run("YUV420P8", 1280, 32, rng, order=1, aa=48, aac=48)
+    width reduction with all three tiers DISTINCT (W_act < W_sm < S_pad):
+    chroma w=640, bufH=42 against stride 1280 -> W_act=768,
+    W_sm=roundup(640+129,128)=896, S_pad=1280 — covering the raw_of
+    zero-extension branch and the W_sm/W_act scratch asymmetry."""
+    from sangnom_tpu.ops.pallas_kernel import _width_tiers
+
+    W_act, W_sm, _ = _width_tiers(640, 42, 1280)
+    assert W_act < W_sm < 1280, (W_act, W_sm)  # guard the test's own premise
+    _run("YUV420P8", 1280, 168, rng, order=1, aa=48, aac=48)

@@ -34,14 +34,18 @@ for k, (fname, w, h, n, kw) in enumerate(CASES):
     clip = Clip.from_numpy(planes, fmt)
     got = sangnom2(clip, opt=1, **kw)
     # check first and last frame against the oracle
+    case_fails = 0
     for fr in {0, n - 1}:
         want = sangnom2_frame_oracle([p[fr] for p in planes], fmt,
                                      frame_parity=clip.get_parity(fr), **kw)
         for i, wp in enumerate(want):
             g = np.asarray(got.planes[i])[fr]
             if not np.array_equal(g, wp):
-                fails += 1
+                case_fails += 1
                 print(f"MISMATCH {fname} {w}x{h} {kw} frame {fr} plane {i}",
                       flush=True)
-    print(f"[{k+1}/{len(CASES)}] {fname} {w}x{h} n={n} {kw}: OK", flush=True)
+    fails += case_fails
+    verdict = "OK" if case_fails == 0 else f"FAIL ({case_fails})"
+    print(f"[{k+1}/{len(CASES)}] {fname} {w}x{h} n={n} {kw}: {verdict}",
+          flush=True)
 print(f"TPU CAMPAIGN DONE: {len(CASES)} cases, {fails} failures")
