@@ -139,3 +139,31 @@ def test_sharded_validates_params(rng):
     mesh = default_mesh(data=2)
     with pytest.raises(Exception, match=r"order must be between 0\.\.2\."):
         sangnom2_sharded(clip, mesh, order=9)
+
+
+def test_width_sharded_order0_dh(rng):
+    """Traced per-frame offsets + dh + width sharding together."""
+    parity = np.array([True, False, True])
+    clip = _clip(rng, "YUV420P8", 64, 8, n=3, parity=parity)
+    mesh = default_mesh(data=1, space=4)
+    want = sangnom2(clip, opt=0, order=0, dh=True, aac=32)
+    got = sangnom2_sharded(clip, mesh, order=0, dh=True, aac=32,
+                           space_axis="space")
+    _assert_clips_equal(got, want)
+
+
+def test_width_sharded_float_chroma_aac(rng):
+    clip = _clip(rng, "YUV422PS", 64, 16, n=2)
+    mesh = default_mesh(data=2, space=4)
+    want = sangnom2(clip, opt=0, order=1, aa=96, aac=96)
+    got = sangnom2_sharded(clip, mesh, order=1, aa=96, aac=96,
+                           space_axis="space")
+    _assert_clips_equal(got, want)
+
+
+def test_width_sharded_alpha_passthrough(rng):
+    clip = _clip(rng, "YUVA444P8", 64, 16, n=2)
+    mesh = default_mesh(data=1, space=8)
+    want = sangnom2(clip, opt=0, order=2)
+    got = sangnom2_sharded(clip, mesh, order=2, space_axis="space")
+    _assert_clips_equal(got, want)
