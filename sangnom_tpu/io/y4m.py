@@ -82,7 +82,7 @@ def _parse_header(fh) -> dict:
     geom = [fmt.plane_dims(width, height, i) for i in range(fmt.num_planes)]
     return dict(
         fmt=fmt, dt=dt, geom=geom, interlace=interlace, fps=fps,
-        aspect=aspect,
+        aspect=aspect, colorspace=cs,
         frame_bytes=sum(pw * ph * dt.itemsize for pw, ph in geom),
     )
 
@@ -119,7 +119,8 @@ def _to_clip(frames, info) -> Clip:
     return Clip.from_numpy(
         stacked, fmt, tff=(info["interlace"] != "b"),
         props={"y4m_interlace": info["interlace"], "y4m_fps": info["fps"],
-               "y4m_aspect": info["aspect"]},
+               "y4m_aspect": info["aspect"],
+               "y4m_colorspace": info["colorspace"]},
     )
 
 
@@ -177,7 +178,12 @@ def write_y4m(f: Union[str, BinaryIO], clip: Clip,
     name = clip.format.name
     if name not in _FORMAT_TO_COLORSPACE:
         raise ValueError(f"format {name} has no y4m colorspace")
-    cs = _FORMAT_TO_COLORSPACE[name]
+    # round-trip the exact chroma-siting tag the stream came with
+    # (420jpeg/420mpeg2/420paldv all decode as YUV420P8; siting doesn't
+    # affect this filter's math but the tag should survive)
+    cs = clip.props.get("y4m_colorspace")
+    if cs is None or _COLORSPACE_TO_FORMAT.get(cs) != name:
+        cs = _FORMAT_TO_COLORSPACE[name]
     if fps is None:
         fps = clip.props.get("y4m_fps", (25, 1))
     aspect = clip.props.get("y4m_aspect", "1:1")

@@ -200,3 +200,19 @@ def test_cli_windowed_matches_whole_clip(rng, tmp_path, mode):
         assert res.returncode == 0, res.stderr
         outs[tag] = dst.read_bytes()
     assert outs["whole"] == outs["win"]
+
+
+def test_y4m_chroma_siting_tag_roundtrip(rng):
+    """420mpeg2 siting tag survives read -> filter -> write."""
+    fmt = get_format("YUV420P8")
+    planes = make_planes(rng, 16, 8, fmt)
+    buf = io.BytesIO()
+    clip = Clip.from_numpy([p[None] for p in planes], fmt)
+    write_y4m(buf, clip)
+    raw = buf.getvalue().replace(b"C420\n", b"C420mpeg2\n")
+    back = read_y4m(io.BytesIO(raw))
+    assert back.props["y4m_colorspace"] == "420mpeg2"
+    out = sangnom2(back, order=1)
+    buf2 = io.BytesIO()
+    write_y4m(buf2, out)
+    assert b"C420mpeg2" in bytes(buf2.getbuffer()[:64])
