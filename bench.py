@@ -4,13 +4,17 @@ Matches BASELINE.json's metric: YUV420 8-bit, dh height-doubling to 1080p
 (the "bob" configuration), bit-exact 8-bit output verified against the
 native oracle before timing.
 
-The reference publishes no numbers (BASELINE.md), so the baseline is
-measured here: the native scalar oracle (the reference's C/opt=0 path
-stand-in, single core) is timed on the same config and scaled by a
-conservative 6x to estimate the reference's SSE2 path (16-byte vectors over
-1/2-byte samples bound ideal speedup at 16/8x; measured SSE2 filters
-typically land 4-6x over scalar).  ``vs_baseline`` is TPU fps over that
-SSE2 estimate; the north-star target is >= 10.
+Baseline: the reference's OWN SSE2 path, measured single-core on this host
+(tools/sse2_baseline compiles /root/reference/src/SangNom2_SSE2.cpp in place
+behind a shim header and times its prepare/9x-process/finalize pipeline on
+the same workload).  If the reference tree or toolchain is unavailable, the
+recorded measurement from 2026-08-16 on this host is used (40.8 fps, best of
+repeated runs).  ``vs_baseline`` is TPU fps over measured SSE2 fps; the
+north-star target is >= 10.
+
+Also reported: the full BASELINE.json config matrix (each parity-gated
+against the native oracle and timed), and the analytic VPU roofline
+utilization (sangnom_tpu/utils/cost_model.py).
 
 Prints ONE JSON line to stdout; diagnostics go to stderr.
 """
@@ -18,35 +22,64 @@ Prints ONE JSON line to stdout; diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-SSE2_OVER_SCALAR = 6.0
+# Best-of-runs measurement of the reference SSE2 path on this host
+# (tools/sse2_baseline, 2026-08-16; ~24.5 ms/frame 1080p YUV420 bob+dh,
+# single core).  Used only when the live measurement below is unavailable.
+SSE2_MEASURED_FPS_RECORDED = 40.8
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _extra_configs(Clip, get_format, sangnom2, checksum, rng):
-    """--all: the other BASELINE.json configs, reported to stderr."""
-    import time
+def measure_sse2_baseline() -> tuple[float, str]:
+    """(fps, provenance) of the reference SSE2 path, single core."""
+    tool_dir = Path(__file__).parent / "tools" / "sse2_baseline"
+    ref = Path(os.environ.get("SANGNOM_REF_DIR", "/root/reference/src"))
+    if not (ref / "SangNom2_SSE2.cpp").exists():
+        return SSE2_MEASURED_FPS_RECORDED, "recorded (reference tree absent)"
+    try:
+        subprocess.run(
+            ["make", "-s", f"REF_DIR={ref}"], cwd=tool_dir, check=True,
+            capture_output=True, text=True, timeout=300,
+        )
+        best = 0.0
+        for _ in range(2):
+            out = subprocess.run(
+                [str(tool_dir / "sse2_baseline"), "30"], check=True,
+                capture_output=True, text=True, timeout=600,
+            )
+            best = max(best, float(json.loads(out.stdout)["value"]))
+        return best, "measured live (tools/sse2_baseline)"
+    except Exception as e:  # toolchain missing, build failure, ...
+        return SSE2_MEASURED_FPS_RECORDED, f"recorded (live run failed: {e})"
 
+
+def _config_matrix(Clip, get_format, sangnom2, checksum, rng, oracle_frame):
+    """The other BASELINE.json configs: parity gate + throughput for each.
+    Returns {name: {"fps": float, "parity": "ok"|"FAIL"}}."""
     import jax.numpy as jnp
-    import numpy as np
 
     cases = [
-        ("cfg1 640x480 GRAY8 order=1", "GRAY8", 640, 480, dict(order=1)),
-        ("cfg2 640x480 YUV420P8 order=2", "YUV420P8", 640, 480, dict(order=2)),
-        ("cfg4 1080i YUV422P10 bob(dh)", "YUV422P10", 1920, 540,
+        ("cfg1_640x480_GRAY8_order1", "GRAY8", 640, 480, dict(order=1)),
+        ("cfg2_640x480_YUV420P8_order2", "YUV420P8", 640, 480,
+         dict(order=2)),
+        ("cfg4_1080i_YUV422P10_bob_dh", "YUV422P10", 1920, 540,
          dict(order=0, dh=True)),
-        ("cfg5 1080p GRAY16 aa=128", "GRAY16", 1920, 1080,
+        ("cfg5_1080p_GRAY16_aa128", "GRAY16", 1920, 1080,
          dict(order=1, aa=128, aac=64)),
-        ("cfg5f 540p YUV444PS", "YUV444PS", 960, 540, dict(order=2)),
+        ("cfg5f_540p_YUV444PS", "YUV444PS", 960, 540, dict(order=2)),
     ]
     B = 16
+    results = {}
     for name, fname, w, h, kw in cases:
         fmt = get_format(fname)
         planes = []
@@ -59,6 +92,17 @@ def _extra_configs(Clip, get_format, sangnom2, checksum, rng):
                 planes.append(
                     rng.integers(0, top + 1, (B, ph, pw)).astype(fmt.dtype))
         clip = Clip.from_numpy(planes, fmt)
+        # parity gate: first frame vs native oracle
+        clip1 = Clip.from_numpy([p[:1] for p in planes], fmt)
+        out1 = sangnom2(clip1, opt=-1, **kw)
+        want = oracle_frame(
+            [p[0] for p in planes], fmt,
+            frame_parity=clip1.get_parity(0), **kw,
+        )
+        parity_ok = all(
+            np.array_equal(np.asarray(out1.planes[i])[0], want[i])
+            for i in range(fmt.num_planes)
+        )
         _ = float(checksum(sangnom2(clip, opt=-1, **kw).planes))  # warm
         best = float("inf")
         for _t in range(3):
@@ -68,7 +112,12 @@ def _extra_configs(Clip, get_format, sangnom2, checksum, rng):
                 acc.append(checksum(sangnom2(clip, opt=-1, **kw).planes))
             np.asarray(jnp.stack(acc))
             best = min(best, (time.perf_counter() - t0) / 5)
-        log(f"  {name}: {B / best:8.0f} frames/s")
+        fps = B / best
+        results[name] = {
+            "fps": round(fps, 1), "parity": "ok" if parity_ok else "FAIL",
+        }
+        log(f"  {name}: {fps:8.0f} frames/s parity={results[name]['parity']}")
+    return results
 
 
 def main() -> None:
@@ -76,6 +125,7 @@ def main() -> None:
 
     from sangnom_tpu import Clip, get_format, sangnom2
     from sangnom_tpu.oracle import sangnom2_frame_oracle
+    from sangnom_tpu.utils.cost_model import vpu_utilization
 
     log("devices:", jax.devices())
     backend = jax.default_backend()
@@ -111,7 +161,7 @@ def main() -> None:
     # --- TPU throughput ----------------------------------------------------
     # Methodology: under the axon tunnel, block_until_ready can return
     # before remote execution completes; a device-side checksum fetched at
-    # the end of each trial forces the full chain.  Best of 3 trials.
+    # the end of each trial forces the full chain.  Best of 5 trials.
     import jax.numpy as jnp
 
     def checksum(planes):
@@ -135,34 +185,38 @@ def main() -> None:
     log(f"{backend} fused-pallas: {dt*1e3:.2f} ms / {B} frames "
         f"-> {fps:.0f} frames/s (best of 5 trials, checksum-forced)")
 
-    # --- measured baseline: native scalar oracle, single core --------------
-    # best-of-N single frames: robust against transient CPU contention
-    # (an inflated baseline would understate vs_baseline, a deflated one
-    # would overstate it — take the oracle's true capability)
-    frame = [p[0] for p in planes]
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        sangnom2_frame_oracle(frame, fmt, **kwargs)
-        best = min(best, time.perf_counter() - t0)
-    scalar_fps = 1.0 / best
-    sse2_est = scalar_fps * SSE2_OVER_SCALAR
-    log(f"native scalar oracle: {scalar_fps:.1f} fps "
-        f"-> SSE2 estimate x{SSE2_OVER_SCALAR}: {sse2_est:.1f} fps")
+    # --- analytic VPU roofline ---------------------------------------------
+    util = vpu_utilization(fps, fmt, 1920, 540, dh=True)
+    log(f"roofline: {util['ops_per_frame']/1e6:.0f}M vector ops/frame -> "
+        f"{util['achieved_ops_per_s']/1e12:.2f} Tops/s = "
+        f"{util['vpu_utilization']*100:.0f}% of nominal v5e VPU peak "
+        f"({util['vpu_peak_ops_per_s']/1e12:.2f} Tops/s)")
 
-    if "--all" in sys.argv:
-        log("extra configs (BASELINE.json list):")
-        _extra_configs(Clip, get_format, sangnom2, checksum, rng)
+    # --- measured baseline: the reference's own SSE2 path, single core -----
+    sse2_fps, provenance = measure_sse2_baseline()
+    log(f"reference SSE2 baseline: {sse2_fps:.1f} fps [{provenance}]")
+
+    # --- the full BASELINE.json config matrix -------------------------------
+    configs = {}
+    if "--headline-only" not in sys.argv:
+        log("config matrix (BASELINE.json):")
+        configs = _config_matrix(
+            Clip, get_format, sangnom2, checksum, rng, sangnom2_frame_oracle
+        )
+        if any(c["parity"] != "ok" for c in configs.values()):
+            log("CONFIG-MATRIX PARITY FAILURE")
 
     print(json.dumps({
         "metric": "1080p_bob_dh_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / sse2_est, 2),
-        "baseline_sse2_est_fps": round(sse2_est, 1),
-        "scalar_oracle_fps": round(scalar_fps, 1),
+        "vs_baseline": round(fps / sse2_fps, 2),
+        "baseline_sse2_fps": round(sse2_fps, 1),
+        "baseline_provenance": provenance,
+        "vpu_utilization_pct": round(util["vpu_utilization"] * 100, 1),
         "backend": backend,
         "batch": B,
+        "configs": configs,
     }))
 
 

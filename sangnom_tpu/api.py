@@ -64,17 +64,25 @@ def sangnom2(
     luma: bool = True,
     chroma: bool = True,
     opt: int = -1,
+    pool_compat: bool = False,
 ) -> Clip:
     """SangNom2: edge-directed single-field deinterlacer / anti-aliaser.
 
     Defaults match the reference factory (src/SangNom2.cpp:402-405, 424-434):
     order=1 (keep top field), aa=48, aac=0, threads=0 (ignored), dh=False,
     luma=True, chroma=True, opt=-1 (auto backend).
+
+    ``pool_compat`` is a framework extension (no reference analogue): True
+    reproduces the reference's shared-buffer-pool stale-data semantics
+    bit-for-bit (deviation 1 in docs/PARITY.md becomes exact parity), at the
+    cost of sequential frame processing.  Default False keeps the
+    zero-defined contract and full frame parallelism.
     """
     del threads  # accepted-but-ignored dummy (reference README.md:40-41)
     _validate("SangNom2", clip, order, aa, aac, opt)
     return sangnom2_op(
-        clip, order=order, aa=aa, aac=aac, dh=dh, luma=luma, chroma=chroma, opt=opt
+        clip, order=order, aa=aa, aac=aac, dh=dh, luma=luma, chroma=chroma,
+        opt=opt, pool_compat=pool_compat,
     )
 
 
@@ -109,7 +117,8 @@ class SangNom2Filter:
 
     def __init__(self, order: int = 1, aa: int = 48, aac: int = 0,
                  threads: int = 0, dh: bool = False, luma: bool = True,
-                 chroma: bool = True, opt: int = -1):
+                 chroma: bool = True, opt: int = -1,
+                 pool_compat: bool = False):
         # construction-time validation of everything clip-independent
         if order < 0 or order > 2:
             raise SangNomError("SangNom2: order must be between 0..2.")
@@ -122,18 +131,21 @@ class SangNom2Filter:
         del threads
         self.order, self.aa, self.aac = order, aa, aac
         self.dh, self.luma, self.chroma, self.opt = dh, luma, chroma, opt
+        self.pool_compat = pool_compat
 
     def __call__(self, clip: Clip) -> Clip:
         return sangnom2(
             clip, order=self.order, aa=self.aa, aac=self.aac, dh=self.dh,
             luma=self.luma, chroma=self.chroma, opt=self.opt,
+            pool_compat=self.pool_compat,
         )
 
     def __repr__(self) -> str:
         return (
             f"SangNom2Filter(order={self.order}, aa={self.aa}, "
             f"aac={self.aac}, dh={self.dh}, luma={self.luma}, "
-            f"chroma={self.chroma}, opt={self.opt})"
+            f"chroma={self.chroma}, opt={self.opt}, "
+            f"pool_compat={self.pool_compat})"
         )
 
 

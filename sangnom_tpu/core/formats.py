@@ -81,8 +81,12 @@ def _make_registry() -> dict[str, VideoFormat]:
     for bits in (8, 10, 12, 14, 16):
         fmts.append(VideoFormat(f"GRAY{bits}", "GRAY", bits, False, 0, 0, 1))
     fmts.append(VideoFormat("GRAYS", "GRAY", 32, True, 0, 0, 1))
-    # YUV / YUVA planar formats at the three common subsamplings.
-    subsamp = {"420": (1, 1), "422": (1, 0), "444": (0, 0)}
+    # YUV / YUVA planar formats at the common subsamplings.  4:1:1 (AviSynth
+    # YV411) is included: the reference accepts ANY planar Y/YUV format —
+    # its validation rejects only RGB / non-planar (reference
+    # src/SangNom2.cpp:407-408), and the mod-4 height rule gates on Is420
+    # only (411 halves no vertical axis, so plain even height suffices).
+    subsamp = {"420": (1, 1), "422": (1, 0), "444": (0, 0), "411": (2, 0)}
     for tag, (sw, sh) in subsamp.items():
         for bits in (8, 10, 12, 14, 16):
             fmts.append(VideoFormat(f"YUV{tag}P{bits}", "YUV", bits, False, sw, sh, 3))
@@ -91,6 +95,8 @@ def _make_registry() -> dict[str, VideoFormat]:
             )
         fmts.append(VideoFormat(f"YUV{tag}PS", "YUV", 32, True, sw, sh, 3))
         fmts.append(VideoFormat(f"YUVA{tag}PS", "YUVA", 32, True, sw, sh, 4))
+    # AviSynth's legacy name for 8-bit 4:1:1
+    fmts.append(VideoFormat("YV411", "YUV", 8, False, 2, 0, 3))
     # RGB formats exist in the registry only so the API can reject them with
     # the reference's exact error (reference src/SangNom2.cpp:407-408).
     for bits in (8, 10, 12, 14, 16):

@@ -23,6 +23,7 @@ _COLORSPACE_TO_FORMAT = {
     "420paldv": "YUV420P8",
     "422": "YUV422P8",
     "444": "YUV444P8",
+    "411": "YUV411P8",  # y4m C411 (mjpegtools): 4:1:1, 8-bit only
 }
 for _tag, _sub in (("420", "420"), ("422", "422"), ("444", "444")):
     for _bits in (10, 12, 14, 16):
@@ -35,6 +36,8 @@ _FORMAT_TO_COLORSPACE = {
     "YUV420P8": "420",
     "YUV422P8": "422",
     "YUV444P8": "444",
+    "YUV411P8": "411",
+    "YV411": "411",
 }
 for _sub in ("420", "422", "444"):
     for _bits in (10, 12, 14, 16):

@@ -75,10 +75,14 @@ def _hbox7(line: jnp.ndarray) -> jnp.ndarray:
     return s
 
 
-def smooth_scan(raw: jnp.ndarray, spec: KernelSpec) -> jnp.ndarray:
+def smooth_scan(
+    raw: jnp.ndarray, spec: KernelSpec, init: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """The recursive 3x7 smoothing over buffer rows 1..bufH-1.
 
-    raw: [9, bufH+1, S] zero-padded raw error maps (rows 0 and bufH zero).
+    raw: [9, bufH+1, S] raw error maps (rows 0 and bufH are the pool's
+    boundary rows — zero under the zero-defined contract; carried pool
+    content in pool-compat mode, which passes ``init`` = pool row 0).
     Returns smoothed rows as [bufH-1, 9, S] (time-major, row b=1..bufH-1).
     """
     bufH = raw.shape[1] - 1
@@ -97,9 +101,50 @@ def smooth_scan(raw: jnp.ndarray, spec: KernelSpec) -> jnp.ndarray:
         jnp.moveaxis(raw[:, 1:bufH], 1, 0),  # raw rows 1..bufH-1
         jnp.moveaxis(raw[:, 2 : bufH + 1], 1, 0),  # raw rows 2..bufH
     )
-    init = jnp.zeros(raw.shape[:1] + raw.shape[2:], raw.dtype)  # smoothed row 0
+    if init is None:  # smoothed "row 0" seed
+        init = jnp.zeros(raw.shape[:1] + raw.shape[2:], raw.dtype)
     _, sm = jax.lax.scan(step, init, xs)
     return sm
+
+
+def finalize_select(curr, nxt, bufs, aaf, spec: KernelSpec) -> jnp.ndarray:
+    """Stage 3: 9-way min + fixed-priority select over smoothed error maps.
+
+    curr/nxt: [..., R, w] accumulator-dtype kept-line pairs;
+    bufs: [9, ..., R, w] smoothed maps. Returns accumulator-dtype results.
+
+    Realized as reverse-priority masked overwrites: the LAST write wins, so
+    writes run from the lowest-priority direction (buf0) up to the
+    vertical/threshold case — the same trick the reference's SIMD path uses
+    (reference src/SangNom2_SSE2.cpp:1032-1058, "write output in reverse
+    order"), exactly matching the C if-chain priority
+    (src/SangNom2.cpp:212-249).  Shared by the unsharded, width-sharded and
+    pool-compat backends so the numerics exist exactly once.
+    """
+    cm3, cm2, cm1, c0, cp1, cp2, cp3 = neighborhood(curr, 3)
+    nm3, nm2, nm1, n0, np1, np2, np3 = neighborhood(nxt, 3)
+    fwd1 = calc_sangnom(cm1, c0, cp1, spec)
+    fwd2 = calc_sangnom(np1, n0, nm1, spec)
+    bwd1 = calc_sangnom(cp1, c0, cm1, spec)
+    bwd2 = calc_sangnom(nm1, n0, np1, spec)
+
+    mn = jnp.min(bufs, axis=0)
+
+    res = avg_pair(cm3, np3, spec)  # buf0 ADIFF_M3_P3 (lowest priority)
+    for idx, val in (
+        (8, avg_pair(cp3, nm3, spec)),  # ADIFF_P3_M3
+        (1, avg_pair(cm2, np2, spec)),  # ADIFF_M2_P2
+        (7, avg_pair(cp2, nm2, spec)),  # ADIFF_P2_M2
+        (2, avg_pair(cm1, np1, spec)),  # ADIFF_M1_P1
+        (6, avg_pair(cp1, nm1, spec)),  # ADIFF_P1_M1
+        (3, avg_pair(fwd1, fwd2, spec)),  # SG_FORWARD
+        (5, avg_pair(bwd1, bwd2, spec)),  # SG_REVERSE
+    ):
+        res = jnp.where(bufs[idx] == mn, val, res)
+    # highest priority: vertical if it ties the min OR the min exceeds aaf
+    # (reference src/SangNom2.cpp:214-217)
+    aaf_c = jnp.asarray(aaf, curr.dtype)
+    return jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
 
 
 def interpolate_field(
@@ -129,36 +174,7 @@ def interpolate_field(
     bufs = jnp.moveaxis(sm[..., :w], 1, 0)  # [9, bufH-1, w]
 
     # stage 3: finalize (reference src/SangNom2.cpp:161-257)
-    cm3, cm2, cm1, c0, cp1, cp2, cp3 = neighborhood(curr, 3)
-    nm3, nm2, nm1, n0, np1, np2, np3 = neighborhood(nxt, 3)
-    fwd1 = calc_sangnom(cm1, c0, cp1, spec)
-    fwd2 = calc_sangnom(np1, n0, nm1, spec)
-    bwd1 = calc_sangnom(cp1, c0, cm1, spec)
-    bwd2 = calc_sangnom(nm1, n0, np1, spec)
-
-    mn = jnp.min(bufs, axis=0)
-
-    # Reverse-priority masked overwrites: the LAST write wins, so writes run
-    # from the lowest-priority direction (buf0) up to the vertical/threshold
-    # case — the same trick the reference's SIMD path uses
-    # (reference src/SangNom2_SSE2.cpp:1032-1058, "write output in reverse
-    # order"), exactly matching the C if-chain priority
-    # (src/SangNom2.cpp:212-249).
-    res = avg_pair(cm3, np3, spec)  # buf0 ADIFF_M3_P3 (lowest priority)
-    for idx, val in (
-        (8, avg_pair(cp3, nm3, spec)),  # ADIFF_P3_M3
-        (1, avg_pair(cm2, np2, spec)),  # ADIFF_M2_P2
-        (7, avg_pair(cp2, nm2, spec)),  # ADIFF_P2_M2
-        (2, avg_pair(cm1, np1, spec)),  # ADIFF_M1_P1
-        (6, avg_pair(cp1, nm1, spec)),  # ADIFF_P1_M1
-        (3, avg_pair(fwd1, fwd2, spec)),  # SG_FORWARD
-        (5, avg_pair(bwd1, bwd2, spec)),  # SG_REVERSE
-    ):
-        res = jnp.where(bufs[idx] == mn, val, res)
-    # highest priority: vertical if it ties the min OR the min exceeds aaf
-    # (reference src/SangNom2.cpp:214-217)
-    aaf_c = jnp.asarray(aaf, kept.dtype)
-    res = jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
+    res = finalize_select(curr, nxt, bufs, aaf, spec)
     return res.astype(out_dtype)
 
 

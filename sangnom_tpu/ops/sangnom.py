@@ -215,6 +215,16 @@ def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, ch
     return sangnom2_impl(planes, parity, fmt, order, aa, aac, dh, luma, chroma, opt)
 
 
+@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "fmt"))
+def _sangnom2_pool_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma):
+    from sangnom_tpu.ops.pool_carry import sangnom2_pool_impl
+
+    outs, _ = sangnom2_pool_impl(
+        planes, parity, fmt, order, aa, aac, dh, luma, chroma
+    )
+    return outs
+
+
 def sangnom2_op(
     clip: Clip,
     order: int = 1,
@@ -224,11 +234,23 @@ def sangnom2_op(
     luma: bool = True,
     chroma: bool = True,
     opt: int = -1,
+    pool_compat: bool = False,
 ) -> Clip:
     """The validated, jit-compiled filter op. Parameters are pre-validated by
-    the API layer (sangnom_tpu.api)."""
+    the API layer (sangnom_tpu.api).
+
+    ``pool_compat=True`` selects the shared-buffer-pool bug-compat backend
+    (ops/pool_carry.py): bit-exact to a live reference build's cross-plane
+    stale-pool semantics, at the cost of sequential frame processing — the
+    pool is genuine cross-frame state.  It is a single XLA implementation;
+    ``opt`` is validated but not consulted in this mode."""
     parity = clip.parity_array() if order == 0 else jnp.zeros((clip.num_frames,), jnp.bool_)
-    planes = _sangnom2_jit(
-        clip.planes, parity, clip.format, order, aa, aac, dh, luma, chroma, opt
-    )
+    if pool_compat:
+        planes = _sangnom2_pool_jit(
+            clip.planes, parity, clip.format, order, aa, aac, dh, luma, chroma
+        )
+    else:
+        planes = _sangnom2_jit(
+            clip.planes, parity, clip.format, order, aa, aac, dh, luma, chroma, opt
+        )
     return clip.with_planes(planes)

@@ -70,19 +70,31 @@ inline A adiff(A a, A b) {
 
 // Interpolate the bufH-1 interior missing lines from a contiguous kept field
 // (bufH rows of width w). Output rows are written with stride out_stride.
+//
+// `pool`/`poolRows`: optional SHARED pool state (pool-compat mode): 9 maps of
+// (poolRows+1) rows x S cols, carried across plane passes exactly like the
+// reference's cross-plane buffer reuse (reference src/SangNom2.cpp:265-272 —
+// prepare touches only this plane's rows/cols, processBuffers always smooths
+// rows 1..bufferHeight-1 over the full stride).  nullptr = the framework's
+// default zero-defined plane-local pool.
 template <class T, class A, bool FLT>
 void interp_field(const T* kept, long bufH, long w, long S, A aaf, T* out,
-                  long out_stride) {
-  if (bufH < 2) return;
-
-  // 9 error maps, spatial-priority order, rows 0..bufH all zero-defined.
-  std::vector<A> maps(static_cast<size_t>(9) * (bufH + 1) * S, A(0));
-  const long mstride = (bufH + 1) * S;
+                  long out_stride, A* pool = nullptr, long poolRows = 0) {
+  std::vector<A> local;
+  if (!pool) {
+    if (bufH < 2) return;
+    // 9 error maps, spatial-priority order, rows 0..bufH all zero-defined.
+    local.assign(static_cast<size_t>(9) * (bufH + 1) * S, A(0));
+    pool = local.data();
+    poolRows = bufH;
+  }
+  A* const maps_data = pool;
+  const long mstride = (poolRows + 1) * S;
 
   for (long b = 1; b < bufH; ++b) {
     const T* cr = kept + (b - 1) * w;
     const T* nr = kept + b * w;
-    A* m = maps.data() + b * S;
+    A* m = maps_data + b * S;
     PairView<T, A, FLT> v;
     for (long x = 0; x < w; ++x) {
       v.load(cr, nr, x, w);
@@ -103,11 +115,12 @@ void interp_field(const T* kept, long bufH, long w, long S, A aaf, T* out,
   // the padded stride S, and padding columns are zero by construction.
   std::vector<A> line(S);
   for (int i = 0; i < 9; ++i) {
-    A* m = maps.data() + i * mstride;
-    for (long b = 1; b < bufH; ++b) {
+    A* m = maps_data + i * mstride;
+    for (long b = 1; b < poolRows; ++b) {
       A* up = m + (b - 1) * S;    // already smoothed
       A* mid = m + b * S;         // raw, overwritten below
-      A* dn = m + (b + 1) * S;    // still raw (zero row at b == bufH-1)
+      A* dn = m + (b + 1) * S;    // still raw (row poolRows: zero when
+                                  // plane-local, carried when shared)
       for (long x = 0; x < S; ++x) line[x] = up[x] + mid[x] + dn[x];
       for (long x = 0; x < S; ++x) {
         A h = clamped(line.data(), x - 3, S) + clamped(line.data(), x - 2, S) +
@@ -126,7 +139,7 @@ void interp_field(const T* kept, long bufH, long w, long S, A aaf, T* out,
   for (long b = 1; b < bufH; ++b) {
     const T* cr = kept + (b - 1) * w;
     const T* nr = kept + b * w;
-    const A* m = maps.data() + b * S;
+    const A* m = maps_data + b * S;
     T* dst = out + (b - 1) * out_stride;
     PairView<T, A, FLT> v;
     for (long x = 0; x < w; ++x) {
@@ -161,7 +174,8 @@ void interp_field(const T* kept, long bufH, long w, long S, A aaf, T* out,
 // Full per-plane pipeline: field gather, interpolation, weave, boundary dup.
 template <class T, class A, bool FLT>
 void deinterlace_plane(const T* src, T* dst, long w, long h_src, long S,
-                       int offset, int dh, float aaf_in) {
+                       int offset, int dh, float aaf_in, A* pool = nullptr,
+                       long poolRows = 0) {
   const long h_out = dh ? 2 * h_src : h_src;
   const long bufH = h_out / 2;
 
@@ -190,7 +204,7 @@ void deinterlace_plane(const T* src, T* dst, long w, long h_src, long S,
   // first interior missing row: 1 when keeping top (offset=0), 2 otherwise
   const long first_missing = (offset == 0) ? 1 : 2;
   interp_field<T, A, FLT>(kept, bufH, w, S, aaf, dst + first_missing * w,
-                          2 * w);
+                          2 * w, pool, poolRows);
 
   // boundary missing line: duplicate its kept neighbor
   if (offset == 0)
@@ -219,6 +233,33 @@ void sno_deint_f32(const float* src, float* dst, long w, long h_src,
                    long stride, int offset, int dh, float aaf) {
   deinterlace_plane<float, float, true>(src, dst, w, h_src, stride, offset,
                                         dh, aaf);
+}
+
+// Pool-compat variants: `pool` is the caller-owned shared pool state,
+// 9 * (poolRows+1) * stride accumulator elements, mutated in place.  The
+// caller threads it through plane passes (Y->U->V per frame, frames in
+// order), reproducing the reference's single constructor-allocated pool
+// (reference src/SangNom2.cpp:303-310).
+void sno_deint_u8_pool(const uint8_t* src, uint8_t* dst, long w, long h_src,
+                       long stride, int offset, int dh, float aaf,
+                       int32_t* pool, long poolRows) {
+  deinterlace_plane<uint8_t, int32_t, false>(src, dst, w, h_src, stride,
+                                             offset, dh, aaf, pool, poolRows);
+}
+
+void sno_deint_u16_pool(const uint16_t* src, uint16_t* dst, long w,
+                        long h_src, long stride, int offset, int dh,
+                        float aaf, int32_t* pool, long poolRows) {
+  deinterlace_plane<uint16_t, int32_t, false>(src, dst, w, h_src, stride,
+                                              offset, dh, aaf, pool,
+                                              poolRows);
+}
+
+void sno_deint_f32_pool(const float* src, float* dst, long w, long h_src,
+                        long stride, int offset, int dh, float aaf,
+                        float* pool, long poolRows) {
+  deinterlace_plane<float, float, true>(src, dst, w, h_src, stride, offset,
+                                        dh, aaf, pool, poolRows);
 }
 
 }  // extern "C"

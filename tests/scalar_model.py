@@ -58,16 +58,32 @@ def _avg_f32(a, b):
     return (a + b) * F32(0.5)  # reference src/SangNom2.cpp:54-58
 
 
+def make_pool_scalar(stride: int, pool_rows: int, is_float: bool):
+    """Fresh shared pool state for pool-compat mode: 9 x (pool_rows+1) x S,
+    all zero (the reference's malloc'd pool is fresh zero pages in practice;
+    its never-written cells — row 0, row bufferHeight — stay zero forever,
+    reference src/SangNom2.cpp:79 vs 129-133, 305-306)."""
+    zero = F32(0) if is_float else 0
+    return [[[zero] * stride for _ in range(pool_rows + 1)] for _ in range(9)]
+
+
 def interpolate_field_scalar(kept: np.ndarray, aaf, is_float: bool, mask: int,
-                             stride: int) -> np.ndarray:
+                             stride: int, pool=None) -> np.ndarray:
     """Interpolate the bufH-1 interior missing lines between kept lines.
 
     kept: [bufH, w] python-int-convertible (or float32) kept-field lines.
     Returns [bufH-1, w] in the same value domain.
+
+    ``pool``: optional carried shared-pool state (pool-compat mode) of shape
+    9 x (P+1) x S with P the LUMA bufferHeight — mutated in place, exactly
+    like the reference's cross-plane buffer reuse (src/SangNom2.cpp:265-272:
+    prepare writes rows 1..h/2-1 for THIS plane but processBuffers always
+    smooths rows 1..bufferHeight-1 over the full stride).  When None, a
+    plane-local zero pool is used (the framework's default zero contract).
     """
     bufH, w = kept.shape
     S = stride
-    if bufH < 2:
+    if pool is None and bufH < 2:
         return np.zeros((0, w), dtype=kept.dtype)
 
     if is_float:
@@ -85,7 +101,7 @@ def interpolate_field_scalar(kept: np.ndarray, aaf, is_float: bool, mask: int,
     # src/SangNom2.h:8-20): 0=M3P3 1=M2P2 2=M1P1 3=SG_FWD 4=P0M0 5=SG_REV
     # 6=P1M1 7=P2M2 8=P3M3.  (reference prepareBuffers_c,
     # src/SangNom2.cpp:74-124.)
-    raw = [[[zero] * S for _ in range(bufH + 1)] for _ in range(9)]
+    raw = pool if pool is not None else make_pool_scalar(S, bufH, is_float)
     for b in range(1, bufH):
         c, n = k[b - 1], k[b]
         for x in range(w):
@@ -116,9 +132,12 @@ def interpolate_field_scalar(kept: np.ndarray, aaf, is_float: bool, mask: int,
     # not a convolution (reference processBuffers_c, src/SangNom2.cpp:126-159;
     # the three cursors stride together at 155-157).  Horizontal taps clamp
     # at the PADDED stride S, not at w (loop bound src/SangNom2.cpp:136,141).
+    # In pool-compat mode the smoothed height is the POOL's (luma-derived),
+    # not the plane's (reference src/SangNom2.cpp:270 passes bufferHeight).
+    smooth_rows = len(raw[0]) - 1
     for i in range(9):
         m = raw[i]
-        for b in range(1, bufH):
+        for b in range(1, smooth_rows):
             line = [m[b - 1][x] + m[b][x] + m[b + 1][x] for x in range(S)]
             for x in range(S):
                 h = (
@@ -177,7 +196,8 @@ def interpolate_field_scalar(kept: np.ndarray, aaf, is_float: bool, mask: int,
 
 
 def deinterlace_plane_scalar(src: np.ndarray, offset: int, dh: bool,
-                             aaf, fmt: VideoFormat, stride: int) -> np.ndarray:
+                             aaf, fmt: VideoFormat, stride: int,
+                             pool=None) -> np.ndarray:
     """Full per-plane pipeline: field selection, boundary duplication,
     interpolation, assembly (reference GetFrame, src/SangNom2.cpp:332-397)."""
     h_src, w = src.shape
@@ -188,7 +208,7 @@ def deinterlace_plane_scalar(src: np.ndarray, offset: int, dh: bool,
 
     is_float = fmt.is_float
     mask = (1 << (8 * fmt.component_size)) - 1 if not is_float else 0
-    interp = interpolate_field_scalar(kept, aaf, is_float, mask, stride)
+    interp = interpolate_field_scalar(kept, aaf, is_float, mask, stride, pool)
 
     out = np.zeros((h_out, w), dtype=src.dtype)
     out[offset::2] = kept
@@ -223,8 +243,12 @@ def sangnom2_frame_scalar(
     luma: bool = True,
     chroma: bool = True,
     frame_parity: bool = True,
+    pool=None,
 ) -> list[np.ndarray]:
-    """One frame through the full filter, all planes."""
+    """One frame through the full filter, all planes.
+
+    ``pool``: carried shared-pool state for pool-compat mode (mutated in
+    place and reusable for the next frame); None = zero contract."""
     offset = field_offset(order, frame_parity)
     aafs = scaled_aa_thresholds(aa, aac, fmt)
     stride = buffer_stride_elems(planes[0].shape[1], fmt.component_size)
@@ -243,5 +267,41 @@ def sangnom2_frame_scalar(
             out.append(p.copy())
             continue
         aaf = aaf_as_pixel(aafs[i], fmt)
-        out.append(deinterlace_plane_scalar(p, offset, dh, aaf, fmt, stride))
+        out.append(
+            deinterlace_plane_scalar(p, offset, dh, aaf, fmt, stride, pool)
+        )
+    return out
+
+
+def sangnom2_clip_scalar(
+    frames: list[list[np.ndarray]],
+    fmt: VideoFormat,
+    order: int = 1,
+    aa: int = 48,
+    aac: int = 0,
+    dh: bool = False,
+    luma: bool = True,
+    chroma: bool = True,
+    parities: list[bool] | None = None,
+    pool_compat: bool = False,
+) -> list[list[np.ndarray]]:
+    """A whole clip, optionally with the reference's shared-pool semantics:
+    ONE pool (luma geometry) threaded through every processed plane of every
+    frame in order (reference src/SangNom2.cpp:303-310 allocates it once in
+    the constructor; GetFrame never reinitializes it)."""
+    pool = None
+    if pool_compat:
+        h0, w0 = frames[0][0].shape
+        stride = buffer_stride_elems(w0, fmt.component_size)
+        pool_rows = (h0 * 2 if dh else h0) // 2
+        pool = make_pool_scalar(stride, pool_rows, fmt.is_float)
+    out = []
+    for n, planes in enumerate(frames):
+        par = parities[n] if parities is not None else True
+        out.append(
+            sangnom2_frame_scalar(
+                planes, fmt, order, aa, aac, dh, luma, chroma,
+                frame_parity=par, pool=pool,
+            )
+        )
     return out

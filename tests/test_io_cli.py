@@ -29,7 +29,9 @@ def _roundtrip(fmt_name, w, h, n, rng):
         np.testing.assert_array_equal(np.asarray(back.planes[i]), np.asarray(clip.planes[i]))
 
 
-@pytest.mark.parametrize("fmt_name", ["GRAY8", "YUV420P8", "YUV422P10", "YUV444P16"])
+@pytest.mark.parametrize(
+    "fmt_name", ["GRAY8", "YUV420P8", "YUV422P10", "YUV444P16", "YUV411P8"]
+)
 def test_y4m_roundtrip(rng, fmt_name):
     _roundtrip(fmt_name, 32, 16, 3, rng)
 

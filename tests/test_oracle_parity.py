@@ -26,6 +26,10 @@ CONFIGS = [
     dict(fmt="GRAY8", w=31, h=8, kw=dict(order=1)),
     dict(fmt="GRAY8", w=32, h=8, kw=dict(order=2)),  # stride == w: taps clamp
     dict(fmt="GRAY8", w=5, h=8, kw=dict(order=1)),
+    # 4:1:1 (AviSynth YV411): quarter-width chroma against the luma-derived
+    # stride — the widest stale-padding region of any format
+    dict(fmt="YUV411P8", w=48, h=16, kw=dict(order=1, aa=48, aac=48)),
+    dict(fmt="YV411", w=32, h=8, kw=dict(order=2, dh=True)),
 ]
 
 

@@ -39,6 +39,7 @@ def _run(fmt_name, w, h, rng, n=1, **kw):
         ("GRAY8", 32, 8, dict(order=2)),  # stride == w: taps clamp at edge
         ("GRAY8", 5, 8, dict(order=1)),
         ("GRAY8", 130, 10, dict(order=1)),  # stride 160 > 128: lane padding
+        ("YUV411P8", 48, 16, dict(order=1, aa=48, aac=48)),  # 4:1:1 chroma
     ],
     ids=lambda v: str(v),
 )
