@@ -31,9 +31,11 @@ from pathlib import Path
 import numpy as np
 
 # Best-of-runs measurement of the reference SSE2 path on this host
-# (tools/sse2_baseline, 2026-08-16; ~24.5 ms/frame 1080p YUV420 bob+dh,
-# single core).  Used only when the live measurement below is unavailable.
-SSE2_MEASURED_FPS_RECORDED = 40.8
+# (tools/sse2_baseline, 2026-08-16, uncontended single core: ~10.4 ms/frame
+# 1080p YUV420 bob+dh).  Used only when the live measurement below is
+# unavailable.  NOTE: this host's lone vCPU is shared — contended runs
+# measure as low as ~39 fps; best-of-runs is the honest capability number.
+SSE2_MEASURED_FPS_RECORDED = 95.9
 
 
 def log(*a):

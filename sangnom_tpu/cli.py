@@ -92,14 +92,14 @@ def main(argv: list[str] | None = None) -> int:
             return _run_windowed(src, dst, args, fps, t0)
         clip = read_y4m(src, max_frames=args.frames)
         out = _filter_one(_override_tff(clip, args), args)
+        if fps is None:
+            fps = clip.props.get("y4m_fps", (25, 1))
+        if args.bob:
+            fps = (fps[0] * 2, fps[1])  # double-rate output
+        write_y4m(dst, out, fps=fps, interlace=_out_interlace(clip, args))
     except (SangNomError, ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    if fps is None:
-        fps = clip.props.get("y4m_fps", (25, 1))
-    if args.bob:
-        fps = (fps[0] * 2, fps[1])  # double-rate output
-    write_y4m(dst, out, fps=fps)
     dt = time.perf_counter() - t0
     print(
         f"{clip.num_frames} frames {clip.width}x{clip.height} -> "
@@ -108,6 +108,17 @@ def main(argv: list[str] | None = None) -> int:
         file=sys.stderr,
     )
     return 0
+
+
+def _out_interlace(clip, args) -> str:
+    """Output-stream interlace tag.  The filter produces progressive output
+    ('p') whenever it actually deinterlaces; a pure pass-through run
+    (--no-luma --no-chroma without --dh/--bob touches no plane) forwards the
+    input stream's tag instead of restamping interlaced content."""
+    processes = args.bob or args.dh or args.luma or args.chroma
+    if processes:
+        return "p"
+    return clip.props.get("y4m_interlace", "p")
 
 
 def _override_tff(clip, args):
@@ -158,7 +169,9 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
                 state["fh"], state["close"] = open(dst, "wb"), True
             else:
                 state["fh"] = dst
-            write_y4m(state["fh"], out_clip, fps=f)
+            ilace = "p" if (args.bob or args.dh or args.luma or args.chroma
+                            ) else in_props.get("y4m_interlace", "p")
+            write_y4m(state["fh"], out_clip, fps=f, interlace=ilace)
         else:
             write_y4m_frames(state["fh"], out_clip)
         state["out"] += out_clip.num_frames

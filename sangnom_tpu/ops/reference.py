@@ -37,18 +37,31 @@ from sangnom_tpu.ops.primitives import (
 )
 
 
-def _error_maps(curr, nxt, spec: KernelSpec) -> jnp.ndarray:
-    """The 9 raw directional error maps for each kept-line pair.
-
-    curr/nxt: [..., R, w] accumulator-dtype rows.  Returns [9, ..., R, w]
-    indexed in spatial priority order (reference enum Buffers,
-    src/SangNom2.h:8-20; stores at src/SangNom2.cpp:103-117)."""
+def pair_taps(curr, nxt, spec: KernelSpec):
+    """(taps, preds) of a kept-line pair: the 14 edge-clamped neighborhood
+    taps and 4 directional predictors (reference src/SangNom2.cpp:87-106).
+    The single tap source for the unsharded backends; the width-sharded
+    backend derives the same values from halo-extended slices instead and
+    feeds them to the shared map/finalize stages below."""
     cm3, cm2, cm1, c0, cp1, cp2, cp3 = neighborhood(curr, 3)
     nm3, nm2, nm1, n0, np1, np2, np3 = neighborhood(nxt, 3)
     fwd1 = calc_sangnom(cm1, c0, cp1, spec)
     fwd2 = calc_sangnom(np1, n0, nm1, spec)
     bwd1 = calc_sangnom(cp1, c0, cm1, spec)
     bwd2 = calc_sangnom(nm1, n0, np1, spec)
+    taps = (cm3, cm2, cm1, c0, cp1, cp2, cp3,
+            nm3, nm2, nm1, n0, np1, np2, np3)
+    return taps, (fwd1, fwd2, bwd1, bwd2)
+
+
+def error_maps_from_taps(taps, preds) -> jnp.ndarray:
+    """The 9 raw directional error maps from pair taps/predictors.
+
+    Returns [9, ...] indexed in spatial priority order (reference enum
+    Buffers, src/SangNom2.h:8-20; stores at src/SangNom2.cpp:103-117)."""
+    (cm3, cm2, cm1, c0, cp1, cp2, cp3,
+     nm3, nm2, nm1, n0, np1, np2, np3) = taps
+    fwd1, fwd2, bwd1, bwd2 = preds
     return jnp.stack(
         [
             abs_diff(cm3, np3),  # 0 ADIFF_M3_P3
@@ -64,6 +77,13 @@ def _error_maps(curr, nxt, spec: KernelSpec) -> jnp.ndarray:
     )
 
 
+def _error_maps(curr, nxt, spec: KernelSpec) -> jnp.ndarray:
+    """The 9 raw directional error maps for each kept-line pair.
+
+    curr/nxt: [..., R, w] accumulator-dtype rows.  Returns [9, ..., R, w]."""
+    return error_maps_from_taps(*pair_taps(curr, nxt, spec))
+
+
 def _hbox7(line: jnp.ndarray) -> jnp.ndarray:
     """7-tap horizontal box sum with taps edge-clamped at the padded stride
     (reference src/SangNom2.cpp:141-152: loadPixel against bufferStride)."""
@@ -76,21 +96,32 @@ def _hbox7(line: jnp.ndarray) -> jnp.ndarray:
 
 
 def smooth_scan(
-    raw: jnp.ndarray, spec: KernelSpec, init: jnp.ndarray | None = None
+    raw: jnp.ndarray,
+    spec: KernelSpec,
+    init: jnp.ndarray | None = None,
+    hbox_fn=None,
+    row_axis: int = 1,
 ) -> jnp.ndarray:
     """The recursive 3x7 smoothing over buffer rows 1..bufH-1.
 
-    raw: [9, bufH+1, S] raw error maps (rows 0 and bufH are the pool's
-    boundary rows — zero under the zero-defined contract; carried pool
-    content in pool-compat mode, which passes ``init`` = pool row 0).
-    Returns smoothed rows as [bufH-1, 9, S] (time-major, row b=1..bufH-1).
+    raw: raw error maps with the buffer-row dimension at ``row_axis``
+    ([9, bufH+1, S] by default); rows 0 and bufH are the pool's boundary
+    rows — zero under the zero-defined contract; carried pool content in
+    pool-compat mode, which passes ``init`` = pool row 0.
+    ``hbox_fn``: the horizontal 7-tap box sum (defaults to the local
+    stride-clamped `_hbox7`; the width-sharded backend passes a
+    halo-exchanging variant so the recursion itself is shared).
+    Returns smoothed rows, time-major: [bufH-1, 9, ...].
     """
-    bufH = raw.shape[1] - 1
+    bufH = raw.shape[row_axis] - 1
+    if hbox_fn is None:
+        hbox_fn = _hbox7
+    rows = jnp.moveaxis(raw, row_axis, 1)  # [9, bufH+1, ...]
 
     def step(prev_sm, xs):
-        rb, rb1 = xs  # raw row b, raw row b+1 — each [9, S]
+        rb, rb1 = xs  # raw row b, raw row b+1 — each [9, ...]
         line = prev_sm + rb + rb1  # vertical 3-sum; row b-1 already smoothed
-        h = _hbox7(line)
+        h = hbox_fn(line)
         if spec.is_float:
             sm = h * jnp.float32(1.0 / 16.0)
         else:
@@ -98,20 +129,20 @@ def smooth_scan(
         return sm, sm
 
     xs = (
-        jnp.moveaxis(raw[:, 1:bufH], 1, 0),  # raw rows 1..bufH-1
-        jnp.moveaxis(raw[:, 2 : bufH + 1], 1, 0),  # raw rows 2..bufH
+        jnp.moveaxis(rows[:, 1:bufH], 1, 0),  # raw rows 1..bufH-1
+        jnp.moveaxis(rows[:, 2 : bufH + 1], 1, 0),  # raw rows 2..bufH
     )
     if init is None:  # smoothed "row 0" seed
-        init = jnp.zeros(raw.shape[:1] + raw.shape[2:], raw.dtype)
+        init = jnp.zeros(rows.shape[:1] + rows.shape[2:], rows.dtype)
     _, sm = jax.lax.scan(step, init, xs)
     return sm
 
 
-def finalize_select(curr, nxt, bufs, aaf, spec: KernelSpec) -> jnp.ndarray:
+def finalize_select_from_taps(taps, preds, bufs, aaf, spec: KernelSpec):
     """Stage 3: 9-way min + fixed-priority select over smoothed error maps.
 
-    curr/nxt: [..., R, w] accumulator-dtype kept-line pairs;
-    bufs: [9, ..., R, w] smoothed maps. Returns accumulator-dtype results.
+    taps/preds: as returned by `pair_taps` (or the sharded halo variant);
+    bufs: [9, ...] smoothed maps. Returns accumulator-dtype results.
 
     Realized as reverse-priority masked overwrites: the LAST write wins, so
     writes run from the lowest-priority direction (buf0) up to the
@@ -121,12 +152,9 @@ def finalize_select(curr, nxt, bufs, aaf, spec: KernelSpec) -> jnp.ndarray:
     (src/SangNom2.cpp:212-249).  Shared by the unsharded, width-sharded and
     pool-compat backends so the numerics exist exactly once.
     """
-    cm3, cm2, cm1, c0, cp1, cp2, cp3 = neighborhood(curr, 3)
-    nm3, nm2, nm1, n0, np1, np2, np3 = neighborhood(nxt, 3)
-    fwd1 = calc_sangnom(cm1, c0, cp1, spec)
-    fwd2 = calc_sangnom(np1, n0, nm1, spec)
-    bwd1 = calc_sangnom(cp1, c0, cm1, spec)
-    bwd2 = calc_sangnom(nm1, n0, np1, spec)
+    (cm3, cm2, cm1, c0, cp1, cp2, cp3,
+     nm3, nm2, nm1, n0, np1, np2, np3) = taps
+    fwd1, fwd2, bwd1, bwd2 = preds
 
     mn = jnp.min(bufs, axis=0)
 
@@ -143,8 +171,15 @@ def finalize_select(curr, nxt, bufs, aaf, spec: KernelSpec) -> jnp.ndarray:
         res = jnp.where(bufs[idx] == mn, val, res)
     # highest priority: vertical if it ties the min OR the min exceeds aaf
     # (reference src/SangNom2.cpp:214-217)
-    aaf_c = jnp.asarray(aaf, curr.dtype)
+    aaf_c = jnp.asarray(aaf, c0.dtype)
     return jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
+
+
+def finalize_select(curr, nxt, bufs, aaf, spec: KernelSpec) -> jnp.ndarray:
+    """`finalize_select_from_taps` with taps recomputed from the kept-line
+    pair (the reference recomputes them too, src/SangNom2.cpp:176-195)."""
+    taps, preds = pair_taps(curr, nxt, spec)
+    return finalize_select_from_taps(taps, preds, bufs, aaf, spec)
 
 
 def interpolate_field(

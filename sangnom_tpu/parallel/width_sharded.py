@@ -18,6 +18,12 @@ array edge, realized by edge-replicated halos on the boundary shards; and
 are recreated by masking raw maps against the GLOBAL column index — this is
 what makes horizontally subsampled chroma (w < S) bit-exact, including its
 observable zero-padding creep.
+
+NUMERICS LIVE IN ops/reference.py: this module only contributes the tap
+source (halo-extended slices instead of clamped shifts) and the
+halo-exchanging hbox; maps, the smoothing recursion, and the priority
+select are the shared `error_maps_from_taps` / `smooth_scan` /
+`finalize_select_from_taps`, so the two backends cannot drift.
 """
 
 from __future__ import annotations
@@ -25,11 +31,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sangnom_tpu.ops.primitives import (
-    KernelSpec,
-    abs_diff,
-    avg_pair,
-    calc_sangnom,
+from sangnom_tpu.ops.primitives import KernelSpec, calc_sangnom
+from sangnom_tpu.ops.reference import (
+    error_maps_from_taps,
+    finalize_select_from_taps,
+    smooth_scan,
 )
 
 
@@ -62,7 +68,9 @@ def _taps7_ext(ext: jnp.ndarray, w_loc: int) -> list[jnp.ndarray]:
     return [ext[..., 3 + k : 3 + k + w_loc] for k in range(-3, 4)]
 
 
-def _pair_values(curr_ext, nxt_ext, w_loc, spec):
+def _pair_taps_halo(curr_ext, nxt_ext, w_loc, spec):
+    """The sharded tap source: same (taps, preds) contract as
+    ops.reference.pair_taps, derived from halo-extended rows."""
     cm3, cm2, cm1, c0, cp1, cp2, cp3 = _taps7_ext(curr_ext, w_loc)
     nm3, nm2, nm1, n0, np1, np2, np3 = _taps7_ext(nxt_ext, w_loc)
     fwd1 = calc_sangnom(cm1, c0, cp1, spec)
@@ -91,24 +99,9 @@ def interpolate_field_width_sharded(
         return jnp.zeros((N, 0, w_loc), out_dtype)
 
     keptx = _exchange_halo(kept, 3, axis_name)  # one exchange for pixel taps
-    curr_ext, nxt_ext = keptx[:, :-1], keptx[:, 1:]
-    taps, preds = _pair_values(curr_ext, nxt_ext, w_loc, spec)
-    cm3, cm2, cm1, c0, cp1, cp2, cp3, nm3, nm2, nm1, n0, np1, np2, np3 = taps
-    fwd1, fwd2, bwd1, bwd2 = preds
+    taps, preds = _pair_taps_halo(keptx[:, :-1], keptx[:, 1:], w_loc, spec)
 
-    raw = jnp.stack(
-        [
-            abs_diff(cm3, np3),
-            abs_diff(cm2, np2),
-            abs_diff(cm1, np1),
-            abs_diff(fwd1, fwd2),
-            abs_diff(c0, n0),
-            abs_diff(bwd1, bwd2),
-            abs_diff(cp1, nm1),
-            abs_diff(cp2, nm2),
-            abs_diff(cp3, nm3),
-        ]
-    )  # [9, N, bufH-1, W_loc]
+    raw = error_maps_from_taps(taps, preds)  # [9, N, bufH-1, W_loc]
     if plane_width is not None:
         # zero-defined raw padding beyond the TRUE plane width (global cols)
         gcol = (
@@ -118,9 +111,7 @@ def interpolate_field_width_sharded(
         raw = jnp.where(gcol < plane_width, raw, jnp.zeros((), raw.dtype))
     raw = jnp.pad(raw, ((0, 0), (0, 0), (1, 1), (0, 0)))  # zero rows 0, bufH
 
-    def step(prev_sm, xs):
-        rb, rb1 = xs  # [9, N, W_loc]
-        line = prev_sm + rb + rb1
+    def hbox_halo(line):
         # per-step 3-column halo exchange: the ICI collective on the
         # recursion's critical path
         linex = _exchange_halo(line, 3, axis_name)
@@ -128,32 +119,10 @@ def interpolate_field_width_sharded(
         h = t[0]
         for tp in t[1:]:
             h = h + tp
-        if spec.is_float:
-            sm = h * jnp.float32(1.0 / 16.0)
-        else:
-            sm = jnp.right_shift(h, 4) & spec.mask
-        return sm, sm
+        return h
 
-    xs = (
-        jnp.moveaxis(raw[:, :, 1:bufH], 2, 0),
-        jnp.moveaxis(raw[:, :, 2 : bufH + 1], 2, 0),
-    )
-    init = jnp.zeros((9, N, w_loc), raw.dtype)
-    _, sm = jax.lax.scan(step, init, xs)  # [bufH-1, 9, N, W_loc]
+    sm = smooth_scan(raw, spec, hbox_fn=hbox_halo, row_axis=2)
     bufs = jnp.moveaxis(sm, 0, 2)  # [9, N, bufH-1, W_loc]
 
-    mn = jnp.min(bufs, axis=0)
-    res = avg_pair(cm3, np3, spec)
-    for idx, val in (
-        (8, avg_pair(cp3, nm3, spec)),
-        (1, avg_pair(cm2, np2, spec)),
-        (7, avg_pair(cp2, nm2, spec)),
-        (2, avg_pair(cm1, np1, spec)),
-        (6, avg_pair(cp1, nm1, spec)),
-        (3, avg_pair(fwd1, fwd2, spec)),
-        (5, avg_pair(bwd1, bwd2, spec)),
-    ):
-        res = jnp.where(bufs[idx] == mn, val, res)
-    aaf_c = jnp.asarray(aaf, kept.dtype)
-    res = jnp.where((bufs[4] == mn) | (mn > aaf_c), avg_pair(c0, n0, spec), res)
+    res = finalize_select_from_taps(taps, preds, bufs, aaf, spec)
     return res.astype(out_dtype)

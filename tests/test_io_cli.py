@@ -143,6 +143,46 @@ def test_cli_bff_flag_changes_order0(rng, tmp_path):
     assert not np.array_equal(outs["--tff"], outs["--bff"])
 
 
+def test_cli_output_write_error_clean(rng, tmp_path):
+    """An unwritable output path must produce the same clean 'error: ...' /
+    exit-2 contract as input errors (not a raw traceback)."""
+    import os
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([np.zeros((1, 8, 16), np.uint8)], fmt))
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src),
+         str(tmp_path / "no_such_dir" / "o.y4m")],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 2
+    assert res.stderr.strip().startswith("error:")
+    assert "Traceback" not in res.stderr
+
+
+def test_cli_passthrough_preserves_interlace_tag(rng, tmp_path):
+    """--no-luma --no-chroma without --dh touches no plane; the input's
+    interlace tag must round-trip instead of being restamped progressive.
+    A processing run still stamps 'p'."""
+    import os
+    fmt = get_format("YUV420P8")
+    src = tmp_path / "in.y4m"
+    planes = [np.zeros((1, 8, 16), np.uint8), np.zeros((1, 4, 8), np.uint8),
+              np.zeros((1, 4, 8), np.uint8)]
+    write_y4m(str(src), Clip.from_numpy(planes, fmt), interlace="t")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    for extra, want in ((["--no-luma", "--no-chroma"], "t"), ([], "p")):
+        dst = tmp_path / f"out_{want}.y4m"
+        res = subprocess.run(
+            [sys.executable, "-m", "sangnom_tpu", str(src), str(dst)] + extra,
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert res.returncode == 0, res.stderr
+        header = dst.read_bytes().split(b"\n", 1)[0].decode()
+        assert f"I{want}" in header, (extra, header)
+
+
 def test_cli_bad_fps_clean_error(rng, tmp_path):
     import os
     fmt = get_format("GRAY8")

@@ -17,6 +17,7 @@ CASES = [
     ("YUV420P8", 1920, 1080, 9, dict(order=1, aa=48, aac=48)),  # chunk+tiers
     ("GRAY8", 1919, 1080, 1, dict(order=2)),               # odd width
     ("YUVA420P8", 640, 480, 1, dict(order=1, dh=True)),    # alpha + dh
+    ("YUV411P8", 640, 480, 1, dict(order=1, aa=48, aac=48)),  # 4:1:1 chroma
 ]
 
 fails = 0
