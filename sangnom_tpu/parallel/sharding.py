@@ -112,10 +112,21 @@ def sangnom2_sharded(
     parity = jnp.pad(clip.parity_array(), (0, pad)) if pad else clip.parity_array()
 
     if space_axis:
+        # opt=0 keeps the per-row-exchange scan (the parity target); opt=1
+        # forces the chunked-Pallas smoothing — the multi-chip performance
+        # path (bit-exact to the scan, tests/test_sharding.py); auto mirrors
+        # _pick_backend: fused where Pallas compiles (TPU), scan elsewhere
+        # (interpret mode is for testing, not production CPU meshes)
+        if opt == 0:
+            smooth = "scan"
+        elif opt == 1:
+            smooth = "fused"
+        else:
+            smooth = "fused" if jax.default_backend() == "tpu" else "scan"
         interp_fn = (
             lambda kept, aaf, spec, stride_, plane_width=None:  # noqa: E731
             interpolate_field_width_sharded(
-                kept, aaf, spec, space_axis, plane_width
+                kept, aaf, spec, space_axis, plane_width, smooth=smooth
             )
         )
         plane_spec = P(data_axis, None, space_axis)

@@ -83,7 +83,7 @@ def _pair_taps_halo(curr_ext, nxt_ext, w_loc, spec):
 
 def interpolate_field_width_sharded(
     kept: jnp.ndarray, aaf, spec: KernelSpec, axis_name: str,
-    plane_width: int | None = None,
+    plane_width: int | None = None, smooth: str = "scan",
 ) -> jnp.ndarray:
     """Shard-local kept field [N, bufH, W_loc] -> [N, bufH-1, W_loc].
 
@@ -91,6 +91,10 @@ def interpolate_field_width_sharded(
     the global (unsharded) width is the buffer stride S, edge-replicated
     beyond ``plane_width`` (see module docstring).  Takes and returns the
     storage dtype; bit-exact to the unsharded backends.
+
+    ``smooth``: "scan" = per-row 3-col halo exchange around XLA ops;
+    "fused" = chunked Pallas recursion with one (3R+3)-col exchange per R
+    rows (parallel/fused_smooth.py) — the multi-chip performance path.
     """
     out_dtype = kept.dtype
     kept = kept.astype(spec.acc_dtype)
@@ -111,17 +115,23 @@ def interpolate_field_width_sharded(
         raw = jnp.where(gcol < plane_width, raw, jnp.zeros((), raw.dtype))
     raw = jnp.pad(raw, ((0, 0), (0, 0), (1, 1), (0, 0)))  # zero rows 0, bufH
 
-    def hbox_halo(line):
-        # per-step 3-column halo exchange: the ICI collective on the
-        # recursion's critical path
-        linex = _exchange_halo(line, 3, axis_name)
-        t = _taps7_ext(linex, w_loc)
-        h = t[0]
-        for tp in t[1:]:
-            h = h + tp
-        return h
+    if smooth == "fused" and w_loc > 6:
+        from sangnom_tpu.parallel.fused_smooth import smooth_sharded_chunked
 
-    sm = smooth_scan(raw, spec, hbox_fn=hbox_halo, row_axis=2)
+        sm = smooth_sharded_chunked(raw, spec, axis_name)
+    else:
+
+        def hbox_halo(line):
+            # per-step 3-column halo exchange: the ICI collective on the
+            # recursion's critical path
+            linex = _exchange_halo(line, 3, axis_name)
+            t = _taps7_ext(linex, w_loc)
+            h = t[0]
+            for tp in t[1:]:
+                h = h + tp
+            return h
+
+        sm = smooth_scan(raw, spec, hbox_fn=hbox_halo, row_axis=2)
     bufs = jnp.moveaxis(sm, 0, 2)  # [9, N, bufH-1, W_loc]
 
     res = finalize_select_from_taps(taps, preds, bufs, aaf, spec)

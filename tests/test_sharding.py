@@ -89,6 +89,33 @@ def test_width_sharded_chroma_subsampling(rng):
     _assert_clips_equal(got, want)
 
 
+@pytest.mark.parametrize("opt", [0, 1])
+def test_width_sharded_smooth_backends(rng, opt):
+    """opt=0 routes the per-row-exchange scan smoothing, any other opt the
+    chunked-Pallas smoothing (parallel/fused_smooth.py) — both bit-exact to
+    the unsharded reference, on a mixed data x space mesh with subsampled
+    chroma and order=0 traced offsets."""
+    parity = np.array([True, False, True])
+    clip = _clip(rng, "YUV420P8", 64, 16, n=3, parity=parity)
+    mesh = default_mesh(data=2, space=4)
+    want = sangnom2(clip, opt=0, order=0, aa=48, aac=48)
+    got = sangnom2_sharded(
+        clip, mesh, order=0, aa=48, aac=48, space_axis="space", opt=opt
+    )
+    _assert_clips_equal(got, want)
+
+
+def test_width_sharded_fused_thin_shards(rng):
+    """8-way sharding of a 64-col stride leaves 8-col shards: the chunked
+    smoother adapts its chunk size to the halo bound (R=(W_loc-3)//3=1) and
+    stays bit-exact."""
+    clip = _clip(rng, "GRAY8", 64, 16, n=2)
+    mesh = default_mesh(data=1, space=8)
+    want = sangnom2(clip, opt=0, order=1)
+    got = sangnom2_sharded(clip, mesh, order=1, space_axis="space", opt=1)
+    _assert_clips_equal(got, want)
+
+
 def test_width_sharded_float(rng):
     clip = _clip(rng, "GRAYS", 64, 16, n=2)
     mesh = default_mesh(data=1, space=4)
