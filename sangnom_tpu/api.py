@@ -65,6 +65,7 @@ def sangnom2(
     chroma: bool = True,
     opt: int = -1,
     pool_compat: bool = False,
+    numerics: str = "c",
 ) -> Clip:
     """SangNom2: edge-directed single-field deinterlacer / anti-aliaser.
 
@@ -72,17 +73,26 @@ def sangnom2(
     order=1 (keep top field), aa=48, aac=0, threads=0 (ignored), dh=False,
     luma=True, chroma=True, opt=-1 (auto backend).
 
-    ``pool_compat`` is a framework extension (no reference analogue): True
-    reproduces the reference's shared-buffer-pool stale-data semantics
-    bit-for-bit (deviation 1 in docs/PARITY.md becomes exact parity), at the
-    cost of sequential frame processing.  Default False keeps the
-    zero-defined contract and full frame parallelism.
+    Framework extensions (no reference analogue):
+    * ``pool_compat=True`` reproduces the reference's shared-buffer-pool
+      stale-data semantics bit-for-bit (deviation 1 in docs/PARITY.md
+      becomes exact parity), at the cost of sequential frame processing.
+    * ``numerics``: "c" (default — the reference's C-path contract, the
+      parity target) or "sse2" — the reference's SSE2 path, which genuinely
+      diverges at integer extremes (saturate-vs-wrap, logical-vs-arithmetic
+      shift; docs/PARITY.md deviation 4).  In the reference the choice rides
+      ``opt``; here every backend implements both contracts, so it is an
+      independent axis.  Composable with ``pool_compat``.
     """
     del threads  # accepted-but-ignored dummy (reference README.md:40-41)
     _validate("SangNom2", clip, order, aa, aac, opt)
+    if numerics not in ("c", "sse2"):
+        raise SangNomError(
+            f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."
+        )
     return sangnom2_op(
         clip, order=order, aa=aa, aac=aac, dh=dh, luma=luma, chroma=chroma,
-        opt=opt, pool_compat=pool_compat,
+        opt=opt, pool_compat=pool_compat, numerics=numerics,
     )
 
 

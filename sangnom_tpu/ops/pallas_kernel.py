@@ -45,7 +45,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sangnom_tpu.ops.primitives import KernelSpec, abs_diff, avg_pair, calc_sangnom
+from sangnom_tpu.ops.primitives import (
+    KernelSpec,
+    abs_diff,
+    avg_pair,
+    calc_sangnom,
+    smooth_writeback,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -244,10 +250,7 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
     # vertical 3-sum uses the ALREADY-SMOOTHED previous row from scratch
     line = sm_ref[...] + raw_ref[...] + raw_next
     h = _hbox7(line, S_clamp, W_sm, spec.is_float)
-    if spec.is_float:
-        sm = h * jnp.float32(1.0 / 16.0)
-    else:
-        sm = jnp.right_shift(h, 4) & spec.mask
+    sm = smooth_writeback(h, spec)
 
     # finalize values are already wrapped to the storage range; the cast
     # back to the narrow dtype is value-preserving

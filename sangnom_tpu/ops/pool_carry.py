@@ -136,6 +136,7 @@ def sangnom2_pool_impl(
     luma: bool,
     chroma: bool,
     pool0: jnp.ndarray | None = None,
+    numerics: str = "c",
 ):
     """Whole-clip transform with the shared-pool bug-compat semantics.
 
@@ -143,10 +144,12 @@ def sangnom2_pool_impl(
     (lax.scan) threading the pool, planes in index order within each frame —
     exactly the reference's pass order.  Returns (out_planes, final_pool) so
     streaming callers (CLI --window) can carry the pool across chunks.
+    ``numerics="sse2"`` composes the SSE2 numeric contract with the pool
+    carry — a live reference build on its vectorized path.
     """
     from sangnom_tpu.ops.sangnom import field_offsets  # cycle-free at runtime
 
-    spec = KernelSpec.from_format(fmt)
+    spec = KernelSpec.from_format(fmt, sse2=(numerics == "sse2"))
     N, h0, w0 = planes[0].shape
     h_out0 = 2 * h0 if dh else h0
     if pool0 is None:

@@ -63,10 +63,25 @@ SELECT_PRIORITY = (
 @dataclasses.dataclass(frozen=True)
 class KernelSpec:
     """Static per-dtype kernel configuration (the analogue of the reference's
-    <T, IType> template instantiations, src/SangNom2.cpp:316-327)."""
+    <T, IType> template instantiations, src/SangNom2.cpp:316-327).
+
+    ``sse2``: select the reference's SECOND numerics contract — its SSE2
+    path genuinely diverges from its C path at integer extremes (SURVEY.md
+    §2 quirk 3).  Exactly two primitives differ (everything else —
+    abs-diffs, averages, min/priority select, thresholds — is provably
+    identical between the reference's paths):
+      * the predictor shifts LOGICALLY within its SIMD lane and
+        saturate-packs (reference src/SangNom2_SSE2.cpp:478-481 srli_epi16 +
+        packus_epi16; :513-517 srli_epi32 + packus_epi32) where C shifts
+        arithmetically and wraps (src/SangNom2.cpp:60-65);
+      * the smoothing writeback saturate-packs (src/SangNom2_SSE2.cpp:
+        749-761, 807-811) where C wraps (src/SangNom2.cpp:152).
+    Float is bit-identical between the reference's two paths, so ``sse2``
+    is a no-op for float formats."""
 
     is_float: bool
     mask: int  # wrap mask for the storage type; unused for float
+    sse2: bool = False
 
     @property
     def acc_dtype(self):
@@ -78,10 +93,13 @@ class KernelSpec:
         return jnp.float32 if self.is_float else jnp.int32
 
     @classmethod
-    def from_format(cls, fmt: VideoFormat) -> "KernelSpec":
+    def from_format(cls, fmt: VideoFormat, sse2: bool = False) -> "KernelSpec":
         if fmt.is_float:
-            return cls(is_float=True, mask=0)
-        return cls(is_float=False, mask=(1 << (8 * fmt.component_size)) - 1)
+            return cls(is_float=True, mask=0, sse2=sse2)
+        return cls(
+            is_float=False, mask=(1 << (8 * fmt.component_size)) - 1,
+            sse2=sse2,
+        )
 
 
 def neighborhood(a: jnp.ndarray, radius: int = 3) -> list[jnp.ndarray]:
@@ -93,13 +111,40 @@ def neighborhood(a: jnp.ndarray, radius: int = 3) -> list[jnp.ndarray]:
 
 
 def calc_sangnom(p1, p2, p3, spec: KernelSpec):
-    """3-tap predictor (4*p1 + 5*p2 - p3)/8 with the C path's exact
-    arithmetic-shift-then-wrap integer semantics
-    (reference src/SangNom2.cpp:60-72)."""
+    """3-tap predictor (4*p1 + 5*p2 - p3)/8.
+
+    C numerics: arithmetic >>3, wrap to the pixel type (reference
+    src/SangNom2.cpp:60-72).  SSE2 numerics: LOGICAL >>3 within the SIMD
+    lane (i16 for 8-bit, i32 for 16-bit) then saturate-pack to the pixel
+    type (reference src/SangNom2_SSE2.cpp:451-482 srli_epi16+packus_epi16,
+    :485-518 srli_epi32+packus_epi32)."""
     if spec.is_float:
         return (p1 * 4 + p2 * 5 - p3) * jnp.float32(0.125)
     s = p1 * 4 + p2 * 5 - p3
-    return jnp.right_shift(s, 3) & spec.mask  # arithmetic >>3, wrap to T
+    if not spec.sse2:
+        return jnp.right_shift(s, 3) & spec.mask  # arithmetic >>3, wrap to T
+    if spec.mask == 0xFF:
+        # u8 rides i16 lanes: logical shift of the 16-bit pattern, u8 sat
+        s = jnp.right_shift(s & 0xFFFF, 3)
+        return jnp.minimum(s, 255)
+    # u16 rides i32 lanes: logical shift of the 32-bit pattern, u16 sat.
+    # logical >>3 == arithmetic >>3 with the sign-extended bits masked off
+    # (avoids unsigned dtypes, which Mosaic handles less uniformly)
+    s = jnp.right_shift(s, 3) & 0x1FFFFFFF
+    return jnp.minimum(s, 65535)
+
+
+def smooth_writeback(h, spec: KernelSpec):
+    """Smoothing-stage writeback of the (non-negative) 21-tap box sum.
+
+    C numerics: /16 then wrap to the pixel type (reference
+    src/SangNom2.cpp:152).  SSE2 numerics: >>4 then saturate-pack
+    (reference src/SangNom2_SSE2.cpp:749-765, 798-811).  Float: *1/16."""
+    if spec.is_float:
+        return h * jnp.float32(1.0 / 16.0)
+    if spec.sse2:
+        return jnp.minimum(jnp.right_shift(h, 4), spec.mask)
+    return jnp.right_shift(h, 4) & spec.mask
 
 
 def avg_pair(a, b, spec: KernelSpec):

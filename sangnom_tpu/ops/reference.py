@@ -34,6 +34,7 @@ from sangnom_tpu.ops.primitives import (
     avg_pair,
     calc_sangnom,
     neighborhood,
+    smooth_writeback,
 )
 
 
@@ -121,11 +122,7 @@ def smooth_scan(
     def step(prev_sm, xs):
         rb, rb1 = xs  # raw row b, raw row b+1 — each [9, ...]
         line = prev_sm + rb + rb1  # vertical 3-sum; row b-1 already smoothed
-        h = hbox_fn(line)
-        if spec.is_float:
-            sm = h * jnp.float32(1.0 / 16.0)
-        else:
-            sm = jnp.right_shift(h, 4) & spec.mask  # /16 then wrap to T
+        sm = smooth_writeback(hbox_fn(line), spec)
         return sm, sm
 
     xs = (

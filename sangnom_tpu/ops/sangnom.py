@@ -141,16 +141,21 @@ def sangnom2_impl(
     interp_fn: Callable | None = None,
     plane_widths: tuple | None = None,
     stride: int | None = None,
+    numerics: str = "c",
 ):
     """The un-jitted whole-frame-batch transform over raw plane arrays.
 
     Shared by the single-device jit wrapper below and the sharded wrappers in
     sangnom_tpu.parallel (which call it inside `shard_map` with a
     halo-exchanging `interp_fn`, the GLOBAL `plane_widths` — local arrays are
-    stride-padded there — and the precomputed global `stride`)."""
+    stride-padded there — and the precomputed global `stride`).
+
+    ``numerics``: "c" (default, the parity target) or "sse2" — the
+    reference's second numeric contract (its SSE2 path diverges from its C
+    path at integer extremes; see ops.primitives.KernelSpec)."""
     if interp_fn is None:
         interp_fn = _pick_backend(opt)
-    spec = KernelSpec.from_format(fmt)
+    spec = KernelSpec.from_format(fmt, sse2=(numerics == "sse2"))
     log_dispatch(
         fmt=fmt.name,
         backend=getattr(interp_fn, "__module__", str(interp_fn)),
@@ -210,17 +215,21 @@ def sangnom2_impl(
     return tuple(out[i] for i in range(len(planes)))
 
 
-@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "opt", "fmt"))
-def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma, opt):
-    return sangnom2_impl(planes, parity, fmt, order, aa, aac, dh, luma, chroma, opt)
+@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "opt", "fmt", "numerics"))
+def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma, opt, numerics):
+    return sangnom2_impl(
+        planes, parity, fmt, order, aa, aac, dh, luma, chroma, opt,
+        numerics=numerics,
+    )
 
 
-@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "fmt"))
-def _sangnom2_pool_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma):
+@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "fmt", "numerics"))
+def _sangnom2_pool_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma, numerics):
     from sangnom_tpu.ops.pool_carry import sangnom2_pool_impl
 
     outs, _ = sangnom2_pool_impl(
-        planes, parity, fmt, order, aa, aac, dh, luma, chroma
+        planes, parity, fmt, order, aa, aac, dh, luma, chroma,
+        numerics=numerics,
     )
     return outs
 
@@ -235,6 +244,7 @@ def sangnom2_op(
     chroma: bool = True,
     opt: int = -1,
     pool_compat: bool = False,
+    numerics: str = "c",
 ) -> Clip:
     """The validated, jit-compiled filter op. Parameters are pre-validated by
     the API layer (sangnom_tpu.api).
@@ -243,14 +253,20 @@ def sangnom2_op(
     (ops/pool_carry.py): bit-exact to a live reference build's cross-plane
     stale-pool semantics, at the cost of sequential frame processing — the
     pool is genuine cross-frame state.  It is a single XLA implementation;
-    ``opt`` is validated but not consulted in this mode."""
+    ``opt`` is validated but not consulted in this mode.
+
+    ``numerics="sse2"`` selects the reference's SSE2 numeric contract
+    (composable with ``pool_compat`` — together they reproduce a live
+    reference build running its vectorized path)."""
     parity = clip.parity_array() if order == 0 else jnp.zeros((clip.num_frames,), jnp.bool_)
     if pool_compat:
         planes = _sangnom2_pool_jit(
-            clip.planes, parity, clip.format, order, aa, aac, dh, luma, chroma
+            clip.planes, parity, clip.format, order, aa, aac, dh, luma,
+            chroma, numerics,
         )
     else:
         planes = _sangnom2_jit(
-            clip.planes, parity, clip.format, order, aa, aac, dh, luma, chroma, opt
+            clip.planes, parity, clip.format, order, aa, aac, dh, luma,
+            chroma, opt, numerics,
         )
     return clip.with_planes(planes)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sangnom_tpu.ops.primitives import KernelSpec
+from sangnom_tpu.ops.primitives import KernelSpec, smooth_writeback
 
 
 def _round_up(x: int, m: int) -> int:
@@ -83,10 +83,7 @@ def _smooth_kernel(flags_ref, sm0_ref, r0_ref, r1_ref, out_ref, sm_ref, *,
     h = h + line
     for k in (1, 2, 3):
         h = h + tap(k)
-    if spec.is_float:
-        sm = h * jnp.float32(1.0 / 16.0)
-    else:
-        sm = jnp.right_shift(h, 4) & spec.mask
+    sm = smooth_writeback(h, spec)
 
     # global-boundary replication of the computed row (see docstring): halo
     # columns of the leftmost/rightmost shard mirror their global edge col
