@@ -208,8 +208,9 @@ def _finalize(v, sm, aaf, spec: KernelSpec) -> jnp.ndarray:
     return avg_pair(a, b, spec)
 
 
-def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
-            spec, w, W_act, W_sm, S_clamp, n_steps, aaf):
+def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
+            prev_ref=None, *, spec, w, W_act, W_sm, S_clamp, n_steps, aaf,
+            weave_offset=None):
     t = pl.program_id(0)
     # rows stream in the narrow STORAGE dtype (u8/u16/f32) and widen to the
     # accumulator inside VMEM — 4x less DMA for 8-bit planes
@@ -254,7 +255,29 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref, *,
 
     # finalize values are already wrapped to the storage range; the cast
     # back to the narrow dtype is value-preserving
-    out_ref[0] = _finalize(pv, sm[..., :W_act], aaf, spec).astype(out_ref.dtype)
+    res = _finalize(pv, sm[..., :W_act], aaf, spec).astype(out_ref.dtype)
+    if weave_offset is None:
+        out_ref[0] = res
+    else:
+        # in-kernel weave: each step emits output rows {2t, 2t+1} of the
+        # final interleaved plane (kept rows are already in VMEM as inputs
+        # — writing them here replaces a whole-plane XLA interleave pass).
+        # The grid runs ONE extra step (t == n_steps) for the tail rows;
+        # its finalize result is discarded via the selects below.
+        k0_raw = k0_ref[0]  # kept row t, STORAGE dtype (pre-widening)
+        if weave_offset == 0:
+            # rows {2t, 2t+1} = (kept[t], interp[t]); tail rows
+            # {2n, 2n+1} = (kept[bufH-1], duplicate) — boundary line
+            # duplication per reference src/SangNom2.cpp:381-385
+            out_ref[0] = k0_raw
+            out_ref[1] = jnp.where(t < n_steps, res, k0_raw)
+        else:
+            # rows {2t, 2t+1} = (interp[t-1], kept[t]); row 0 duplicates
+            # kept[0] (reference src/SangNom2.cpp:386-391).  interp rows
+            # are emitted one step LATE, carried in prev_ref scratch.
+            out_ref[0] = jnp.where(t == 0, k0_raw, prev_ref[...])
+            out_ref[1] = k0_raw
+            prev_ref[...] = res
     sm_ref[...] = sm
     raw_ref[...] = raw_next
     pair_ref[...] = jnp.stack(v12)
@@ -381,3 +404,80 @@ def _interp_chunk(keptp, *, aaf, spec, g, n_steps, w, W_act, W_sm, S_clamp):
 def interpolate_field(kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int):
     """Single-frame convenience wrapper."""
     return interpolate_field_batch(kept[None], aaf, spec, stride)[0]
+
+
+def deinterlace_field_batch_fused(
+    kept: jnp.ndarray, offset: int, aaf, spec: KernelSpec, stride: int
+) -> jnp.ndarray:
+    """In-kernel weave: [N, bufH, w] kept field -> the COMPLETE deinterlaced
+    plane [N, 2*bufH, w], kept/interpolated rows interleaved per ``offset``
+    with the boundary line duplicated — no XLA-side interleave pass (which
+    measures ~17% of the headline pipeline).  Static ``offset`` only (the
+    output row layout is baked into the BlockSpec index maps); the traced
+    per-frame-offset path (order=0 mixed parity) keeps the XLA weave.
+    """
+    B, bufH, w = kept.shape
+    W_act, W_sm, S_clamp = _width_tiers(w, bufH, stride)
+    n_chunks = -(-B // _kernel_batch(W_sm))
+    per_chunk = -(-B // n_chunks)
+    g = min(B, _round_up(per_chunk, 8))
+    n_steps = bufH - 1
+
+    pad = (-B) % g
+    G = (B + pad) // g
+    # TWO zero rows below: the weave grid runs one extra step whose pair
+    # views reach kept rows bufH and bufH+1
+    kp = jnp.pad(kept, ((0, pad), (0, 2), (0, W_act - w)))
+    kp = jnp.moveaxis(kp.reshape(G, g, bufH + 2, W_act), 2, 1)
+
+    run = functools.partial(
+        _deint_chunk, offset=offset, aaf=aaf, spec=spec, g=g,
+        n_steps=n_steps, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
+    )
+    if G == 1:
+        out = run(kp[0])[None]
+    else:
+        out = jax.lax.map(run, kp)  # [G, 2*bufH, g, W_act]
+    out = jnp.moveaxis(out, 2, 1).reshape(G * g, 2 * bufH, W_act)
+    return out[:B, :, :w]
+
+
+def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
+                 S_clamp):
+    """keptp: [bufH+2, g, W_act] row-major chunk -> [2*bufH, g, W_act]
+    woven output (see deinterlace_field_batch_fused)."""
+    kernel = functools.partial(
+        _kernel, spec=spec, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
+        n_steps=n_steps, aaf=aaf, weave_offset=offset,
+    )
+    row_view = lambda o: pl.BlockSpec(  # noqa: E731
+        (1, g, W_act), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
+    )
+    scratch = [
+        pltpu.VMEM((9, g, W_sm), spec.acc_dtype),  # smoothed row b-1
+        pltpu.VMEM((9, g, W_sm), spec.acc_dtype),  # raw row b
+        pltpu.VMEM((18, g, W_act), spec.acc_dtype),  # pair taps/preds
+    ]
+    if offset == 1:
+        scratch.append(pltpu.VMEM((g, W_act), keptp.dtype))  # carried interp
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps + 1,),
+        in_specs=[row_view(0), row_view(1), row_view(2)],
+        out_specs=pl.BlockSpec(
+            (2, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (2 * (n_steps + 1), g, W_act), keptp.dtype
+        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(keptp, keptp, keptp)
+
+
+# consumed by ops.sangnom.deinterlace_plane_batch for static-offset,
+# unsharded dispatches through this backend
+interpolate_field_batch.fused_weave = deinterlace_field_batch_fused

@@ -23,6 +23,7 @@ from typing import Callable, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sangnom_tpu.core.clip import Clip
 from sangnom_tpu.core.formats import VideoFormat
@@ -85,6 +86,22 @@ def deinterlace_plane_batch(
     else:
         rows = offsets[:, None] + 2 * jnp.arange(bufH)[None, :]
         kept = jnp.take_along_axis(src, rows[..., None], axis=1)
+
+    # In-kernel weave fast path: the fused Pallas backend can emit the
+    # complete interleaved plane (kept rows + interpolated rows + boundary
+    # duplication) directly from the kernel, skipping the XLA interleave
+    # below — measured ~17% of the headline pipeline.  Static offsets only;
+    # plane_width None excludes the shard_map wrappers (local arrays are
+    # stride-padded there and the weave runs outside the shard).
+    fused_weave = getattr(interp_fn, "fused_weave", None)
+    if (
+        fused_weave is not None
+        and static_offset
+        and plane_width is None
+        and bufH >= 2
+    ):
+        with stage_scope("interpolate+weave"):
+            return fused_weave(kept, offsets, aaf, spec, stride)
 
     # backends take and return the storage dtype (widening happens inside —
     # on the Pallas path the narrow dtype streams all the way into VMEM);
@@ -264,9 +281,58 @@ def sangnom2_op(
             clip.planes, parity, clip.format, order, aa, aac, dh, luma,
             chroma, numerics,
         )
+    elif order == 0:
+        planes = _order0_static_split(
+            clip, parity, aa, aac, dh, luma, chroma, opt, numerics
+        )
     else:
         planes = _sangnom2_jit(
             clip.planes, parity, clip.format, order, aa, aac, dh, luma,
             chroma, opt, numerics,
         )
     return clip.with_planes(planes)
+
+
+def _order0_static_split(clip, parity, aa, aac, dh, luma, chroma, opt,
+                         numerics):
+    """order=0 with host-concrete parity: resolve the per-frame offsets NOW
+    and dispatch static-offset kernels instead of the traced-offset path.
+
+    The traced path must assemble BOTH weaves and select per frame
+    (measured +10.3% over a static order at 1080p) and cannot use the
+    in-kernel weave.  At this level the parity array is a concrete value
+    (AviSynth's GetParity is a host call too, reference
+    src/SangNom2.cpp:338), so: a uniform batch collapses to order 1/2
+    outright; a mixed batch (e.g. bob's alternation) splits into the two
+    offset groups, runs each static, and scatters results back by index.
+    """
+    fmt = clip.format
+    try:
+        offs = np.where(np.asarray(parity), 0, 1)
+    except Exception:
+        # parity is a tracer (op invoked under an outer jit): keep the
+        # traced-offset path, which handles per-frame offsets in-graph
+        return _sangnom2_jit(
+            clip.planes, parity, fmt, 0, aa, aac, dh, luma, chroma, opt,
+            numerics,
+        )
+
+    def run(planes, order_s):
+        par = jnp.zeros((planes[0].shape[0],), jnp.bool_)
+        return _sangnom2_jit(
+            planes, par, fmt, order_s, aa, aac, dh, luma, chroma, opt,
+            numerics,
+        )
+
+    if (offs == offs[0]).all():
+        return run(clip.planes, 1 if offs[0] == 0 else 2)
+
+    # Mixed parity keeps the traced-offset path.  A gather/scatter split
+    # into two static-offset groups was built and measured on TPU (round
+    # 2): frame-axis gathers are pathological there (~4x SLOWER end to end,
+    # 59 ms vs 14.4 ms at 64x1080p, whether eager or inside one jit), so
+    # the traced path's ~10% double-weave overhead is the better trade.
+    return _sangnom2_jit(
+        clip.planes, parity, fmt, 0, aa, aac, dh, luma, chroma, opt,
+        numerics,
+    )
