@@ -151,6 +151,54 @@ def test_sse2_numerics_float_identical_to_c(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pool_carry_sse2_matches_real_reference(rng):
+    """The FULL live-reference emulation: pool_compat=True composed with
+    numerics='sse2' must match the reference's own SSE2 code run with its
+    actual shared-pool reuse (caller-threaded pool through Y->U->V of every
+    frame) — bit for bit, on 4:2:0 where the stale carry is observable."""
+    lib = _load_ref_lib()
+    fn = lib.ref_sse2_deint_u8_pool
+    fn.restype = None
+    fn.argtypes = [ctypes.POINTER(ctypes.c_uint8)] * 2 + [
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    fmt = get_format("YUV420P8")
+    W, H, N = 64, 16, 3
+    frames = [make_planes(rng, W, H, fmt) for _ in range(N)]
+    aa, aac, order = 48, 96, 1
+    aafs = scaled_aa_thresholds(aa, aac, fmt)
+    stride = buffer_stride_elems(W, 1)
+    buf_h = buffer_height(H)
+    pool = np.zeros(9 * (buf_h + 1) * stride, np.uint8)
+
+    want = []
+    for f in frames:
+        fout = []
+        for i, p in enumerate(f):
+            h, w = p.shape
+            src = np.ascontiguousarray(p)
+            dst = np.zeros((h, w), np.uint8)
+            fn(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+               dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+               w, h, w, 0 if order == 1 else 1, 0,
+               ctypes.c_float(aafs[i]), stride, buf_h,
+               pool.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            fout.append(dst)
+        want.append(fout)
+
+    planes = [np.stack([f[i] for f in frames]) for i in range(3)]
+    got = sangnom2(Clip.from_numpy(planes, fmt), order=order, aa=aa, aac=aac,
+                   pool_compat=True, numerics="sse2")
+    for n in range(N):
+        for i in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(got.planes[i][n]), want[n][i],
+                err_msg=f"frame {n} plane {i}",
+            )
+
+
 def test_numerics_validation(rng):
     from sangnom_tpu.api import SangNomError
 

@@ -25,7 +25,7 @@ namespace {
 template <typename T, typename IType>
 void run_plane(const T* src, T* dst, long w, long h_src, long dstStride,
                int offset, int dh, float aaf, long bufferStride,
-               long bufferHeight) {
+               long bufferHeight, T* ext_pool = nullptr) {
   const long h_out = dh ? 2 * h_src : h_src;
 
   // GetFrame's field copy + boundary duplication
@@ -45,13 +45,19 @@ void run_plane(const T* src, T* dst, long w, long h_src, long dstStride,
   else
     std::memcpy(dst, dst + dstStride, w * sizeof(T));
 
-  // fresh zero pool per call (the framework's zero-defined contract)
-  T* pool;
+  // ext_pool: caller-owned SHARED pool carried across calls (the
+  // reference's constructor-allocated pool, src/SangNom2.cpp:303-310) —
+  // composing the SSE2 numerics with the pool-carry semantics.  nullptr:
+  // fresh zero pool per call (the framework's zero-defined contract).
+  T* pool = ext_pool;
   T* buffers[TOTAL_BUFFERS];
-  posix_memalign(reinterpret_cast<void**>(&pool), 64,
-                 sizeof(T) * bufferStride * (bufferHeight + 1) * TOTAL_BUFFERS);
-  std::memset(pool, 0,
-              sizeof(T) * bufferStride * (bufferHeight + 1) * TOTAL_BUFFERS);
+  if (!pool) {
+    posix_memalign(
+        reinterpret_cast<void**>(&pool), 64,
+        sizeof(T) * bufferStride * (bufferHeight + 1) * TOTAL_BUFFERS);
+    std::memset(pool, 0,
+                sizeof(T) * bufferStride * (bufferHeight + 1) * TOTAL_BUFFERS);
+  }
   for (int i = 0; i < TOTAL_BUFFERS; ++i)
     buffers[i] = pool + i * bufferStride * (bufferHeight + 1);
   IType* bufferLine;
@@ -68,7 +74,7 @@ void run_plane(const T* src, T* dst, long w, long h_src, long dstStride,
   finalizePlane_sse<T, IType>(base, dstStride, w, h_out, bufferStride,
                               static_cast<T>(aaf), buffers);
 
-  free(pool);
+  if (!ext_pool) free(pool);
   free(bufferLine);
 }
 
@@ -95,6 +101,25 @@ void ref_sse2_deint_f32(const float* src, float* dst, long w, long h_src,
                         long bufferStride, long bufferHeight) {
   run_plane<float, float>(src, dst, w, h_src, dstStride, offset, dh, aaf,
                           bufferStride, bufferHeight);
+}
+
+// Shared-pool variants: `pool` is caller-owned, 9*(bufferHeight+1)*
+// bufferStride PIXEL-typed elements (the reference pools are T-typed),
+// threaded by the caller through plane passes in order.
+void ref_sse2_deint_u8_pool(const uint8_t* src, uint8_t* dst, long w,
+                            long h_src, long dstStride, int offset, int dh,
+                            float aaf, long bufferStride, long bufferHeight,
+                            uint8_t* pool) {
+  run_plane<uint8_t, int16_t>(src, dst, w, h_src, dstStride, offset, dh,
+                              aaf, bufferStride, bufferHeight, pool);
+}
+
+void ref_sse2_deint_u16_pool(const uint16_t* src, uint16_t* dst, long w,
+                             long h_src, long dstStride, int offset, int dh,
+                             float aaf, long bufferStride, long bufferHeight,
+                             uint16_t* pool) {
+  run_plane<uint16_t, int32_t>(src, dst, w, h_src, dstStride, offset, dh,
+                               aaf, bufferStride, bufferHeight, pool);
 }
 
 }  // extern "C"
