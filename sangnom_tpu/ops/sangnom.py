@@ -90,15 +90,19 @@ def deinterlace_plane_batch(
     # In-kernel weave fast path: the fused Pallas backend can emit the
     # complete interleaved plane (kept rows + interpolated rows + boundary
     # duplication) directly from the kernel, skipping the XLA interleave
-    # below — measured ~17% of the headline pipeline.  Static offsets only;
-    # plane_width None excludes the shard_map wrappers (local arrays are
-    # stride-padded there and the weave runs outside the shard).
+    # below.  Static offsets only; plane_width None excludes the shard_map
+    # wrappers (local arrays are stride-padded there and the weave runs
+    # outside the shard).  Integer formats only: interleaved drift-
+    # cancelling A/B on v5e measured +7% (1080p u8 B64), +8% (1080p u16
+    # dh), +15% (480p u8) — but -18% for f32 444 (4-byte rows double the
+    # output DMA with no narrow-dtype win), so float keeps the XLA weave.
     fused_weave = getattr(interp_fn, "fused_weave", None)
     if (
         fused_weave is not None
         and static_offset
         and plane_width is None
         and bufH >= 2
+        and not spec.is_float
     ):
         with stage_scope("interpolate+weave"):
             return fused_weave(kept, offsets, aaf, spec, stride)

@@ -28,3 +28,32 @@ def test_dispatch_log_fires_on_filter_call(caplog):
 def test_stage_scope_usable():
     with stage_scope("unit-test"):
         pass
+
+
+def test_cost_model_counts():
+    """Pin the roofline cost model: op counts derive from the kernel's own
+    width tiers (docs/KERNEL.md table); a silent drift here would corrupt
+    the utilization figure bench.py reports."""
+    from sangnom_tpu.core.formats import get_format
+    from sangnom_tpu.ops.pallas_kernel import _width_tiers
+    from sangnom_tpu.utils.cost_model import (
+        OPS_PER_COL_ACT,
+        OPS_PER_COL_SM,
+        kernel_ops_per_frame,
+        vpu_utilization,
+    )
+
+    fmt = get_format("YUV420P8")
+    # hand-compose the headline config from the same tiers
+    want = 0
+    for w, bufH in ((1920, 540), (960, 270), (960, 270)):
+        W_act, W_sm, _ = _width_tiers(w, bufH, 1920)
+        want += (bufH - 1) * (OPS_PER_COL_ACT * W_act + OPS_PER_COL_SM * W_sm)
+    got = kernel_ops_per_frame(fmt, 1920, 540, dh=True)
+    assert got == want
+    u = vpu_utilization(2959.0, fmt, 1920, 540, dh=True)
+    assert 0.05 < u["vpu_utilization"] < 1.0
+    # skipped planes drop out of the count
+    only_luma = kernel_ops_per_frame(fmt, 1920, 1080, dh=False, chroma=False)
+    full = kernel_ops_per_frame(fmt, 1920, 1080, dh=False)
+    assert only_luma < full
