@@ -174,7 +174,7 @@ def main() -> None:
 
     iters = 10
     _ = float(checksum(sangnom2(clip, opt=-1, **kwargs).planes))  # warm
-    dt = float("inf")
+    trials = []
     for _trial in range(5):
         t0 = time.perf_counter()
         acc = []
@@ -182,10 +182,13 @@ def main() -> None:
             out = sangnom2(clip, opt=-1, **kwargs)
             acc.append(checksum(out.planes))
         np.asarray(jnp.stack(acc))  # forces every iteration
-        dt = min(dt, (time.perf_counter() - t0) / iters)
+        trials.append((time.perf_counter() - t0) / iters)
+    dt = min(trials)
+    spread = (max(trials) - dt) / dt * 100
     fps = B / dt
     log(f"{backend} fused-pallas: {dt*1e3:.2f} ms / {B} frames "
-        f"-> {fps:.0f} frames/s (best of 5 trials, checksum-forced)")
+        f"-> {fps:.0f} frames/s (best of 5 trials, checksum-forced; "
+        f"trial spread {spread:.0f}% — the chip is pool-contended)")
 
     # --- analytic VPU roofline ---------------------------------------------
     util = vpu_utilization(fps, fmt, 1920, 540, dh=True)
@@ -216,6 +219,7 @@ def main() -> None:
         "baseline_sse2_fps": round(sse2_fps, 1),
         "baseline_provenance": provenance,
         "vpu_utilization_pct": round(util["vpu_utilization"] * 100, 1),
+        "trial_spread_pct": round(spread, 1),
         "backend": backend,
         "batch": B,
         "configs": configs,

@@ -102,11 +102,18 @@ def sangnom2(
 _LEGACY_ORDER_REMAP = (2, 1, 0)
 
 
-def sangnom(clip: Clip, order: int = 1, aa: int = 48, opt: int = -1) -> Clip:
-    """Legacy SangNom wrapper (documented surface; see module docstring)."""
+def sangnom(clip: Clip, order: int = 1, aa: int = 48, opt: int = -1,
+            pool_compat: bool = False, numerics: str = "c") -> Clip:
+    """Legacy SangNom wrapper (documented surface; see module docstring).
+    The compat extensions compose the same way as on sangnom2."""
     _validate("SangNom", clip, order, aa, 0, opt)
+    if numerics not in ("c", "sse2"):
+        raise SangNomError(
+            f"SangNom: numerics must be 'c' or 'sse2', got {numerics!r}."
+        )
     new_order = _LEGACY_ORDER_REMAP[order] if order != 1 else 1
-    return sangnom2_op(clip, order=new_order, aa=aa, aac=0, opt=opt)
+    return sangnom2_op(clip, order=new_order, aa=aa, aac=0, opt=opt,
+                       pool_compat=pool_compat, numerics=numerics)
 
 
 class SangNom2Filter:

@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-chroma", dest="chroma", action="store_false")
     p.add_argument("--opt", type=int, default=-1,
                    help="-1 auto, 0 jnp reference, 1 fused Pallas")
+    p.add_argument("--pool-compat", action="store_true",
+                   help="reproduce the reference's shared-buffer-pool "
+                   "stale-data semantics bit-for-bit (frames become "
+                   "sequential)")
+    p.add_argument("--numerics", choices=("c", "sse2"), default="c",
+                   help="numeric contract: the reference's C path "
+                   "(default) or its diverging SSE2 path")
     p.add_argument("--legacy", action="store_true",
                    help="use the legacy SangNom() surface (order remap; "
                    "aa/opt only)")
@@ -133,17 +140,20 @@ def _override_tff(clip, args):
 
 
 def _filter_one(clip, args):
+    compat = dict(pool_compat=args.pool_compat, numerics=args.numerics)
     if args.bob:
         from sangnom_tpu import bob as bob_fn
 
         return bob_fn(clip, aa=args.aa, aac=args.aac, luma=args.luma,
-                      chroma=args.chroma, opt=args.opt, tff=args.tff)
+                      chroma=args.chroma, opt=args.opt, tff=args.tff,
+                      **compat)
     if args.legacy:
-        return sangnom(clip, order=args.order, aa=args.aa, opt=args.opt)
+        return sangnom(clip, order=args.order, aa=args.aa, opt=args.opt,
+                       **compat)
     return sangnom2(
         clip, order=args.order, aa=args.aa, aac=args.aac,
         threads=args.threads, dh=args.dh, luma=args.luma,
-        chroma=args.chroma, opt=args.opt,
+        chroma=args.chroma, opt=args.opt, **compat,
     )
 
 
@@ -156,9 +166,40 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
     from sangnom_tpu import Clip
     from sangnom_tpu.api import SangNomError
 
+    if args.pool_compat and args.bob:
+        # bob windows overlap by one lookahead frame; processing it twice
+        # would corrupt the carried pool state vs whole-clip output
+        print("error: --pool-compat with --bob requires whole-clip "
+              "processing (drop --window)", file=sys.stderr)
+        return 2
+
     # opened lazily at the first emit so a failed run never truncates a
     # pre-existing output file (matching whole-clip mode's behavior)
     state = {"fh": None, "close": False, "out": 0, "in": 0, "shape": None}
+
+    pool_state = {"p": None}
+
+    def fone(w):
+        if not args.pool_compat:
+            return _filter_one(w, args)
+        # pool-compat streaming: the pool is cross-frame state and must
+        # survive window boundaries for byte-identity with whole-clip mode
+        from sangnom_tpu.api import _LEGACY_ORDER_REMAP, _validate
+        from sangnom_tpu.ops.sangnom import sangnom2_pool_stream
+
+        if args.legacy:
+            _validate("SangNom", w, args.order, args.aa, 0, args.opt)
+            order = (_LEGACY_ORDER_REMAP[args.order]
+                     if args.order != 1 else 1)
+            aac = 0
+        else:
+            order, aac = args.order, args.aac
+        out, pool_state["p"] = sangnom2_pool_stream(
+            w, pool_state["p"], order=order, aa=args.aa, aac=aac,
+            dh=args.dh, luma=args.luma, chroma=args.chroma,
+            numerics=args.numerics,
+        )
+        return out
 
     def emit(out_clip, in_props):
         f = fps or in_props.get("y4m_fps", (25, 1))
@@ -185,14 +226,14 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
             if args.bob:
                 if pending is not None:
                     feed = Clip.concat(pending, w[0:1])  # 1-frame lookahead
-                    out = _filter_one(feed, args)
+                    out = fone(feed)
                     emit(out[0 : 2 * pending.num_frames], pending.props)
                 pending = w
             else:
-                emit(_filter_one(w, args), w.props)
+                emit(fone(w), w.props)
         if args.bob and pending is not None:
             # final window: the degenerate last pairing, as unwindowed
-            emit(_filter_one(pending, args), pending.props)
+            emit(fone(pending), pending.props)
         if state["in"] == 0:
             raise ValueError("y4m stream contains no frames")
     except (SangNomError, ValueError, OSError) as e:

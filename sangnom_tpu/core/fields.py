@@ -93,7 +93,8 @@ def double_weave(clip: Clip) -> Clip:
 
 
 def bob(clip: Clip, aa: int = 48, aac: int = 0, luma: bool = True,
-        chroma: bool = True, opt: int = -1, tff: bool | None = None) -> Clip:
+        chroma: bool = True, opt: int = -1, tff: bool | None = None,
+        pool_compat: bool = False, numerics: str = "c") -> Clip:
     """Double-rate deinterlace: SeparateFields -> DoubleWeave ->
     SangNom2(order=0) (the reference's documented double-rate recipe,
     src/SangNom2.cpp:18-23).  Returns 2N full-height frames."""
@@ -102,4 +103,5 @@ def bob(clip: Clip, aa: int = 48, aac: int = 0, luma: bool = True,
     fields = separate_fields(clip, tff=tff)
     woven = double_weave(fields)
     return sangnom2(woven, order=0, aa=aa, aac=aac, luma=luma,
-                    chroma=chroma, opt=opt)
+                    chroma=chroma, opt=opt, pool_compat=pool_compat,
+                    numerics=numerics)

@@ -297,6 +297,50 @@ def sangnom2_op(
     return clip.with_planes(planes)
 
 
+def sangnom2_pool_stream(
+    clip: Clip,
+    pool_state,
+    order: int = 1,
+    aa: int = 48,
+    aac: int = 0,
+    dh: bool = False,
+    luma: bool = True,
+    chroma: bool = True,
+    numerics: str = "c",
+):
+    """One chunk of a pool-compat stream: like ``sangnom2(pool_compat=True)``
+    but taking and returning the pool state, so a windowed caller (the CLI's
+    ``--window``) produces output byte-identical to whole-clip processing —
+    the pool is genuine cross-frame state and must survive chunk boundaries.
+    ``pool_state=None`` starts a fresh stream.  Returns (out_clip, pool).
+    """
+    from sangnom_tpu.api import _validate
+    from sangnom_tpu.ops.pool_carry import init_pool
+
+    _validate("SangNom2", clip, order, aa, aac, 0)
+    parity = clip.parity_array() if order == 0 else jnp.zeros(
+        (clip.num_frames,), jnp.bool_)
+    if pool_state is None:
+        h_out = 2 * clip.height if dh else clip.height
+        pool_state = init_pool(clip.width, h_out, clip.format)
+    planes, pool_state = _sangnom2_pool_stream_jit(
+        clip.planes, parity, pool_state, clip.format, order, aa, aac, dh,
+        luma, chroma, numerics,
+    )
+    return clip.with_planes(planes), pool_state
+
+
+@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "fmt", "numerics"))
+def _sangnom2_pool_stream_jit(planes, parity, pool0, fmt, order, aa, aac,
+                              dh, luma, chroma, numerics):
+    from sangnom_tpu.ops.pool_carry import sangnom2_pool_impl
+
+    return sangnom2_pool_impl(
+        planes, parity, fmt, order, aa, aac, dh, luma, chroma, pool0=pool0,
+        numerics=numerics,
+    )
+
+
 def _order0_static_split(clip, parity, aa, aac, dh, luma, chroma, opt,
                          numerics):
     """order=0 with host-concrete parity: resolve the per-frame offsets NOW

@@ -183,6 +183,53 @@ def test_cli_passthrough_preserves_interlace_tag(rng, tmp_path):
         assert f"I{want}" in header, (extra, header)
 
 
+def test_cli_pool_compat_windowed_matches_whole_clip(rng, tmp_path):
+    """--pool-compat threads the shared pool across --window chunks, so
+    windowed output is byte-identical to whole-clip output (the pool is
+    genuine cross-frame state); --numerics sse2 composes."""
+    import os
+    fmt = get_format("YUV420P8")
+    frames = 5
+    planes = [
+        np.stack([rng.integers(0, 256, (16, 32)).astype(np.uint8)
+                  for _ in range(frames)]),
+        np.stack([rng.integers(0, 256, (8, 16)).astype(np.uint8)
+                  for _ in range(frames)]),
+        np.stack([rng.integers(0, 256, (8, 16)).astype(np.uint8)
+                  for _ in range(frames)]),
+    ]
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy(planes, fmt))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    flags = ["--pool-compat", "--numerics", "sse2", "--aac", "48"]
+    whole, windowed = tmp_path / "whole.y4m", tmp_path / "win.y4m"
+    for dst, extra in ((whole, []), (windowed, ["--window", "2"])):
+        res = subprocess.run(
+            [sys.executable, "-m", "sangnom_tpu", str(src), str(dst)]
+            + flags + extra,
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert res.returncode == 0, res.stderr
+    assert whole.read_bytes() == windowed.read_bytes()
+
+
+def test_cli_pool_compat_bob_window_rejected(rng, tmp_path):
+    import os
+    fmt = get_format("YUV420P8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy(
+        [np.zeros((2, 16, 32), np.uint8), np.zeros((2, 8, 16), np.uint8),
+         np.zeros((2, 8, 16), np.uint8)], fmt))
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src),
+         str(tmp_path / "o.y4m"), "--bob", "--pool-compat", "--window", "2"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 2
+    assert "error:" in res.stderr
+
+
 def test_cli_bad_fps_clean_error(rng, tmp_path):
     import os
     fmt = get_format("GRAY8")
