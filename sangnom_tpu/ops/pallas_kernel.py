@@ -84,6 +84,11 @@ def _shift_clamped(a: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
 
 
 def _taps7(a: jnp.ndarray, n: int) -> list[jnp.ndarray]:
+    # NOTE: an hbox-style bulk-rotate + edge-slab variant of these clamped
+    # taps was built and interleave-A/B'd on v5e in round 2: 1.8% SLOWER —
+    # the merge concatenates cost more than the 12 saved compare+selects
+    # (Mosaic issues selects cheaply; concatenate forces lane copies).
+    # Keep the straightforward clamped form.
     return [_shift_clamped(a, k, n) for k in range(-3, 4)]
 
 
