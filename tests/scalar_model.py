@@ -5,13 +5,14 @@ framework must honor (derived from reference src/SangNom2.cpp:25-273,
 332-397).  Used as the parity oracle for tiny frames; the native C++ oracle
 (sangnom_tpu/oracle) covers large frames fast.
 
-Contract deviations from the raw reference, both deliberate (see SURVEY.md §2
-"Behavioral quirks"):
-  * buffer rows 0 and H/2 and the padding columns [w, stride) are defined as
-    ZERO (the reference reads uninitialized memory there,
-    reference src/SangNom2.cpp:79 vs 129-133, 305-306).
-  * numerics follow the C path (opt=0): integer wrap-on-cast, arithmetic >>3
-    (reference src/SangNom2.cpp:63-64, 152) — not the saturating SSE2 path.
+Default contract (both axes selectable, mirroring the framework API):
+  * buffer cells outside the prepared plane region are ZERO (the reference
+    reuses one shared pool across passes, reference src/SangNom2.cpp:79 vs
+    129-133, 265-272, 305-306) — ``pool=`` carries the shared pool instead.
+  * numerics follow the C path: integer wrap-on-cast, arithmetic >>3
+    (reference src/SangNom2.cpp:63-64, 152) — ``numerics="sse2"`` /
+    ``sse2=True`` selects the reference SSE2 path's saturating /
+    logical-shift contract instead.
 """
 
 from __future__ import annotations
@@ -45,6 +46,15 @@ def _calc_int(p1, p2, p3, mask):
     return (s >> 3) & mask  # python >> on ints is arithmetic (floor)
 
 
+def _calc_int_sse2(p1, p2, p3, mask):
+    """The reference SSE2 path's divergent predictor: LOGICAL >>3 within
+    the SIMD lane (i16 lanes for u8, i32 for u16), then saturate-pack
+    (reference src/SangNom2_SSE2.cpp:451-482, 485-518)."""
+    s = 4 * p1 + 5 * p2 - p3
+    lane = 0xFFFF if mask == 0xFF else 0xFFFFFFFF
+    return min((s & lane) >> 3, mask)
+
+
 def _calc_f32(p1, p2, p3):
     s = p1 * F32(4) + p2 * F32(5) - p3
     return s * F32(0.125)  # reference src/SangNom2.cpp:67-72
@@ -68,7 +78,8 @@ def make_pool_scalar(stride: int, pool_rows: int, is_float: bool):
 
 
 def interpolate_field_scalar(kept: np.ndarray, aaf, is_float: bool, mask: int,
-                             stride: int, pool=None) -> np.ndarray:
+                             stride: int, pool=None,
+                             sse2: bool = False) -> np.ndarray:
     """Interpolate the bufH-1 interior missing lines between kept lines.
 
     kept: [bufH, w] python-int-convertible (or float32) kept-field lines.
@@ -93,7 +104,12 @@ def interpolate_field_scalar(kept: np.ndarray, aaf, is_float: bool, mask: int,
         k = kept.astype(object)  # python ints, exact
         zero = 0
 
-    calc = _calc_f32 if is_float else (lambda a, b, c: _calc_int(a, b, c, mask))
+    if is_float:
+        calc = _calc_f32
+    elif sse2:
+        calc = lambda a, b, c: _calc_int_sse2(a, b, c, mask)  # noqa: E731
+    else:
+        calc = lambda a, b, c: _calc_int(a, b, c, mask)  # noqa: E731
     avg = _avg_f32 if is_float else (lambda a, b: _avg_int(a, b, mask))
 
     # ---- stage 1: prepare the 9 raw error maps, rows 1..bufH-1 -----------
@@ -148,6 +164,10 @@ def interpolate_field_scalar(kept: np.ndarray, aaf, is_float: bool, mask: int,
                 )
                 if is_float:
                     m[b][x] = h / F32(16)
+                elif sse2:
+                    # SSE2 writeback saturates where C wraps (reference
+                    # src/SangNom2_SSE2.cpp:749-765, 798-811)
+                    m[b][x] = min(h >> 4, mask)
                 else:
                     m[b][x] = (h >> 4) & mask  # nonneg: /16 == >>4; wrap to T
 
@@ -197,7 +217,7 @@ def interpolate_field_scalar(kept: np.ndarray, aaf, is_float: bool, mask: int,
 
 def deinterlace_plane_scalar(src: np.ndarray, offset: int, dh: bool,
                              aaf, fmt: VideoFormat, stride: int,
-                             pool=None) -> np.ndarray:
+                             pool=None, sse2: bool = False) -> np.ndarray:
     """Full per-plane pipeline: field selection, boundary duplication,
     interpolation, assembly (reference GetFrame, src/SangNom2.cpp:332-397)."""
     h_src, w = src.shape
@@ -208,7 +228,8 @@ def deinterlace_plane_scalar(src: np.ndarray, offset: int, dh: bool,
 
     is_float = fmt.is_float
     mask = (1 << (8 * fmt.component_size)) - 1 if not is_float else 0
-    interp = interpolate_field_scalar(kept, aaf, is_float, mask, stride, pool)
+    interp = interpolate_field_scalar(kept, aaf, is_float, mask, stride, pool,
+                                      sse2)
 
     out = np.zeros((h_out, w), dtype=src.dtype)
     out[offset::2] = kept
@@ -244,6 +265,7 @@ def sangnom2_frame_scalar(
     chroma: bool = True,
     frame_parity: bool = True,
     pool=None,
+    numerics: str = "c",
 ) -> list[np.ndarray]:
     """One frame through the full filter, all planes.
 
@@ -268,7 +290,8 @@ def sangnom2_frame_scalar(
             continue
         aaf = aaf_as_pixel(aafs[i], fmt)
         out.append(
-            deinterlace_plane_scalar(p, offset, dh, aaf, fmt, stride, pool)
+            deinterlace_plane_scalar(p, offset, dh, aaf, fmt, stride, pool,
+                                     sse2=(numerics == "sse2"))
         )
     return out
 
@@ -284,6 +307,7 @@ def sangnom2_clip_scalar(
     chroma: bool = True,
     parities: list[bool] | None = None,
     pool_compat: bool = False,
+    numerics: str = "c",
 ) -> list[list[np.ndarray]]:
     """A whole clip, optionally with the reference's shared-pool semantics:
     ONE pool (luma geometry) threaded through every processed plane of every
@@ -301,7 +325,7 @@ def sangnom2_clip_scalar(
         out.append(
             sangnom2_frame_scalar(
                 planes, fmt, order, aa, aac, dh, luma, chroma,
-                frame_parity=par, pool=pool,
+                frame_parity=par, pool=pool, numerics=numerics,
             )
         )
     return out

@@ -98,9 +98,11 @@ CONFIGS = [
 
 @pytest.mark.parametrize("fname,w,h,kw", CONFIGS, ids=lambda v: str(v))
 def test_sse2_numerics_matches_real_reference(rng, fname, w, h, kw):
-    """jnp backend with numerics='sse2' == the reference's own compiled
-    SSE2 pipeline, bit for bit (full-range random input: the divergent
-    saturate/logical-shift paths fire constantly)."""
+    """jnp backend AND the Python scalar spec with numerics='sse2' == the
+    reference's own compiled SSE2 pipeline, bit for bit (full-range random
+    input: the divergent saturate/logical-shift paths fire constantly)."""
+    from tests.scalar_model import sangnom2_frame_scalar
+
     lib = _load_ref_lib()
     fmt = get_format(fname)
     planes = make_planes(rng, w, h, fmt)
@@ -110,9 +112,15 @@ def test_sse2_numerics_matches_real_reference(rng, fname, w, h, kw):
                            kw.get("aa", 48), kw.get("aac", 0), dh)
     clip = Clip.from_numpy([p[None] for p in planes], fmt)
     got = sangnom2(clip, opt=0, dh=dh, numerics="sse2", **kw)
+    spec_out = sangnom2_frame_scalar(planes, fmt, dh=dh, numerics="sse2",
+                                     **kw)
     for i in range(fmt.num_planes):
         np.testing.assert_array_equal(
-            np.asarray(got.planes[i])[0], want[i], err_msg=f"plane {i}"
+            np.asarray(got.planes[i])[0], want[i], err_msg=f"jnp plane {i}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(spec_out[i], dtype=want[i].dtype), want[i],
+            err_msg=f"scalar-spec plane {i}",
         )
 
 
