@@ -135,7 +135,7 @@ class SangNom2Filter:
     def __init__(self, order: int = 1, aa: int = 48, aac: int = 0,
                  threads: int = 0, dh: bool = False, luma: bool = True,
                  chroma: bool = True, opt: int = -1,
-                 pool_compat: bool = False):
+                 pool_compat: bool = False, numerics: str = "c"):
         # construction-time validation of everything clip-independent
         if order < 0 or order > 2:
             raise SangNomError("SangNom2: order must be between 0..2.")
@@ -145,16 +145,20 @@ class SangNom2Filter:
             raise SangNomError("SangNom2: aac must be between 0..128.")
         if opt < -1 or opt > 1:
             raise SangNomError("SangNom2: opt must be between -1..2.")
+        if numerics not in ("c", "sse2"):
+            raise SangNomError(
+                f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."
+            )
         del threads
         self.order, self.aa, self.aac = order, aa, aac
         self.dh, self.luma, self.chroma, self.opt = dh, luma, chroma, opt
-        self.pool_compat = pool_compat
+        self.pool_compat, self.numerics = pool_compat, numerics
 
     def __call__(self, clip: Clip) -> Clip:
         return sangnom2(
             clip, order=self.order, aa=self.aa, aac=self.aac, dh=self.dh,
             luma=self.luma, chroma=self.chroma, opt=self.opt,
-            pool_compat=self.pool_compat,
+            pool_compat=self.pool_compat, numerics=self.numerics,
         )
 
     def __repr__(self) -> str:
@@ -162,7 +166,7 @@ class SangNom2Filter:
             f"SangNom2Filter(order={self.order}, aa={self.aa}, "
             f"aac={self.aac}, dh={self.dh}, luma={self.luma}, "
             f"chroma={self.chroma}, opt={self.opt}, "
-            f"pool_compat={self.pool_compat})"
+            f"pool_compat={self.pool_compat}, numerics={self.numerics!r})"
         )
 
 

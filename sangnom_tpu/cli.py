@@ -103,7 +103,8 @@ def main(argv: list[str] | None = None) -> int:
             fps = clip.props.get("y4m_fps", (25, 1))
         if args.bob:
             fps = (fps[0] * 2, fps[1])  # double-rate output
-        write_y4m(dst, out, fps=fps, interlace=_out_interlace(clip, args))
+        write_y4m(dst, out, fps=fps,
+                  interlace=_out_interlace(args, clip.num_planes, clip.props))
     except (SangNomError, ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -117,15 +118,19 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _out_interlace(clip, args) -> str:
+def _out_interlace(args, num_planes: int, props: dict) -> str:
     """Output-stream interlace tag.  The filter produces progressive output
-    ('p') whenever it actually deinterlaces; a pure pass-through run
-    (--no-luma --no-chroma without --dh/--bob touches no plane) forwards the
-    input stream's tag instead of restamping interlaced content."""
-    processes = args.bob or args.dh or args.luma or args.chroma
+    ('p') whenever it actually processes a plane; a pure pass-through run
+    (no --dh/--bob and every existing plane masked off — chroma flags are
+    moot on GRAY clips) forwards the input stream's tag instead of
+    restamping interlaced content.  Single policy for the whole-clip and
+    windowed writers."""
+    processes = (
+        args.bob or args.dh or args.luma or (args.chroma and num_planes >= 3)
+    )
     if processes:
         return "p"
-    return clip.props.get("y4m_interlace", "p")
+    return props.get("y4m_interlace", "p")
 
 
 def _override_tff(clip, args):
@@ -188,16 +193,20 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
         from sangnom_tpu.ops.sangnom import sangnom2_pool_stream
 
         if args.legacy:
+            # the legacy surface has NO dh/luma/chroma parameters — mirror
+            # sangnom()'s fixed defaults so windowed output stays
+            # byte-identical to whole-clip legacy mode
             _validate("SangNom", w, args.order, args.aa, 0, args.opt)
             order = (_LEGACY_ORDER_REMAP[args.order]
                      if args.order != 1 else 1)
-            aac = 0
+            aac, dh, luma, chroma = 0, False, True, True
         else:
             order, aac = args.order, args.aac
+            dh, luma, chroma = args.dh, args.luma, args.chroma
         out, pool_state["p"] = sangnom2_pool_stream(
             w, pool_state["p"], order=order, aa=args.aa, aac=aac,
-            dh=args.dh, luma=args.luma, chroma=args.chroma,
-            numerics=args.numerics,
+            dh=dh, luma=luma, chroma=chroma,
+            numerics=args.numerics, opt=args.opt,
         )
         return out
 
@@ -210,8 +219,7 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
                 state["fh"], state["close"] = open(dst, "wb"), True
             else:
                 state["fh"] = dst
-            ilace = "p" if (args.bob or args.dh or args.luma or args.chroma
-                            ) else in_props.get("y4m_interlace", "p")
+            ilace = _out_interlace(args, out_clip.num_planes, in_props)
             write_y4m(state["fh"], out_clip, fps=f, interlace=ilace)
         else:
             write_y4m_frames(state["fh"], out_clip)

@@ -307,17 +307,19 @@ def sangnom2_pool_stream(
     luma: bool = True,
     chroma: bool = True,
     numerics: str = "c",
+    opt: int = -1,
 ):
     """One chunk of a pool-compat stream: like ``sangnom2(pool_compat=True)``
     but taking and returning the pool state, so a windowed caller (the CLI's
     ``--window``) produces output byte-identical to whole-clip processing —
     the pool is genuine cross-frame state and must survive chunk boundaries.
     ``pool_state=None`` starts a fresh stream.  Returns (out_clip, pool).
-    """
+    ``opt`` is validated for surface parity with sangnom2 (pool-compat is a
+    single XLA implementation, so it is otherwise unused)."""
     from sangnom_tpu.api import _validate
     from sangnom_tpu.ops.pool_carry import init_pool
 
-    _validate("SangNom2", clip, order, aa, aac, 0)
+    _validate("SangNom2", clip, order, aa, aac, opt)
     parity = clip.parity_array() if order == 0 else jnp.zeros(
         (clip.num_frames,), jnp.bool_)
     if pool_state is None:
@@ -350,9 +352,11 @@ def _order0_static_split(clip, parity, aa, aac, dh, luma, chroma, opt,
     (measured +10.3% over a static order at 1080p) and cannot use the
     in-kernel weave.  At this level the parity array is a concrete value
     (AviSynth's GetParity is a host call too, reference
-    src/SangNom2.cpp:338), so: a uniform batch collapses to order 1/2
-    outright; a mixed batch (e.g. bob's alternation) splits into the two
-    offset groups, runs each static, and scatters results back by index.
+    src/SangNom2.cpp:338), so a UNIFORM batch collapses to order 1/2
+    outright.  A mixed batch (e.g. bob's alternation) stays on the traced
+    path: the gather/scatter split into two static groups was built and
+    measured ~4x slower (see the in-body comment), so mixed parity — and
+    therefore bob — does NOT get the in-kernel weave.
     """
     fmt = clip.format
     try:

@@ -213,6 +213,75 @@ def test_cli_pool_compat_windowed_matches_whole_clip(rng, tmp_path):
     assert whole.read_bytes() == windowed.read_bytes()
 
 
+def test_cli_pool_compat_windowed_legacy_matches_whole_clip(rng, tmp_path):
+    """The legacy surface has no dh/luma/chroma parameters; the windowed
+    pool-compat path must mirror sangnom()'s fixed defaults (NOT the CLI's
+    --dh/--no-chroma flags) so --window stays byte-identical."""
+    import os
+    fmt = get_format("YUV420P8")
+    planes = [
+        np.stack([rng.integers(0, 256, (16, 32)).astype(np.uint8)
+                  for _ in range(4)]),
+        np.stack([rng.integers(0, 256, (8, 16)).astype(np.uint8)
+                  for _ in range(4)]),
+        np.stack([rng.integers(0, 256, (8, 16)).astype(np.uint8)
+                  for _ in range(4)]),
+    ]
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy(planes, fmt))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    # --dh/--no-chroma must be ignored by --legacy in BOTH modes
+    flags = ["--legacy", "--order", "2", "--pool-compat", "--dh",
+             "--no-chroma"]
+    whole, windowed = tmp_path / "whole.y4m", tmp_path / "win.y4m"
+    for dst, extra in ((whole, []), (windowed, ["--window", "2"])):
+        res = subprocess.run(
+            [sys.executable, "-m", "sangnom_tpu", str(src), str(dst)]
+            + flags + extra,
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert res.returncode == 0, res.stderr
+    assert whole.read_bytes() == windowed.read_bytes()
+
+
+def test_cli_pool_compat_windowed_validates_opt(rng, tmp_path):
+    """An out-of-range --opt must be rejected identically with and without
+    --window in pool-compat mode."""
+    import os
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([np.zeros((2, 8, 16), np.uint8)],
+                                        fmt))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    for extra in ([], ["--window", "1"]):
+        res = subprocess.run(
+            [sys.executable, "-m", "sangnom_tpu", str(src),
+             str(tmp_path / "o.y4m"), "--pool-compat", "--opt", "9"] + extra,
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert res.returncode == 2, (extra, res.stderr)
+        assert "opt must be between -1..2." in res.stderr
+
+
+def test_cli_gray_no_luma_passthrough_preserves_interlace(rng, tmp_path):
+    """GRAY with --no-luma touches no plane (the chroma flag is moot on a
+    clip with no chroma planes): the interlace tag must round-trip."""
+    import os
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([np.zeros((1, 8, 16), np.uint8)],
+                                        fmt), interlace="b")
+    dst = tmp_path / "out.y4m"
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src), str(dst),
+         "--no-luma"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 0, res.stderr
+    assert "Ib" in dst.read_bytes().split(b"\n", 1)[0].decode()
+
+
 def test_cli_pool_compat_bob_window_rejected(rng, tmp_path):
     import os
     fmt = get_format("YUV420P8")

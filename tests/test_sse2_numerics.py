@@ -208,9 +208,32 @@ def test_pool_carry_sse2_matches_real_reference(rng):
 
 
 def test_numerics_validation(rng):
-    from sangnom_tpu.api import SangNomError
+    from sangnom_tpu.api import SangNom2Filter, SangNomError
 
     fmt = get_format("GRAY8")
     clip = Clip.from_numpy([np.zeros((1, 8, 16), np.uint8)], fmt)
     with pytest.raises(SangNomError, match="numerics"):
         sangnom2(clip, numerics="avx")
+    with pytest.raises(SangNomError, match="numerics"):
+        SangNom2Filter(numerics="avx")
+
+
+def test_filter_object_threads_numerics(rng):
+    """The filter-object surface must express the full composed contract."""
+    from sangnom_tpu.api import SangNom2Filter
+
+    fmt = get_format("GRAY8")
+    planes = make_planes(rng, 32, 16, fmt)
+    clip = Clip.from_numpy([p[None] for p in planes], fmt)
+    f = SangNom2Filter(order=1, aa=48, numerics="sse2", pool_compat=True)
+    assert "sse2" in repr(f)
+    want = sangnom2(clip, order=1, aa=48, numerics="sse2", pool_compat=True)
+    got = f(clip)
+    np.testing.assert_array_equal(
+        np.asarray(got.planes[0]), np.asarray(want.planes[0])
+    )
+    # and the sse2 contract actually applied (differs from default)
+    base = sangnom2(clip, order=1, aa=48)
+    assert not np.array_equal(
+        np.asarray(got.planes[0]), np.asarray(base.planes[0])
+    )
