@@ -227,6 +227,7 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
         state["shape"] = (out_clip.width, out_clip.height)
 
     pending = None
+    inflight = None  # one-window software pipeline (see below)
     try:
         for w in iter_y4m(src, args.window, max_frames=args.frames):
             w = _override_tff(w, args)
@@ -238,10 +239,19 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
                     emit(out[0 : 2 * pending.num_frames], pending.props)
                 pending = w
             else:
-                emit(fone(w), w.props)
+                # JAX dispatch is asynchronous: launch window k, then let the
+                # NEXT window's host-side y4m parse overlap the device
+                # compute, and only then force/emit window k.  Same emission
+                # order (byte-identical output), one extra window in flight.
+                out = fone(w)
+                if inflight is not None:
+                    emit(*inflight)
+                inflight = (out, w.props)
         if args.bob and pending is not None:
             # final window: the degenerate last pairing, as unwindowed
             emit(fone(pending), pending.props)
+        if inflight is not None:
+            emit(*inflight)
         if state["in"] == 0:
             raise ValueError("y4m stream contains no frames")
     except (SangNomError, ValueError, OSError) as e:

@@ -18,6 +18,10 @@ CASES = [
     ("GRAY8", 1919, 1080, 1, dict(order=2)),               # odd width
     ("YUVA420P8", 640, 480, 1, dict(order=1, dh=True)),    # alpha + dh
     ("YUV411P8", 640, 480, 1, dict(order=1, aa=48, aac=48)),  # 4:1:1 chroma
+    # 4K: exercises _kernel_batch VMEM scaling (g shrinks below 64) and
+    # Mosaic layouts at W_sm=3840 on hardware
+    ("YUV420P8", 3840, 2160, 2, dict(order=1, aa=48, aac=48)),
+    ("GRAY16", 3840, 1080, 1, dict(order=2, dh=True)),     # 4K-wide u16 bob
 ]
 
 fails = 0
