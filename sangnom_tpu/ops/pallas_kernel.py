@@ -295,14 +295,16 @@ def _kernel_batch(W_sm: int) -> int:
     """Frames per kernel invocation.
 
     Bigger chunks amortize per-grid-step cost (measured ~5% from 8 -> 64 at
-    1080p); the cap keeps the persistent VMEM carries (36 acc slabs of
+    1080p in round 1; +2.7% from 48 -> 96 at B=96 in a round-2 interleaved
+    A/B); the cap keeps the persistent VMEM carries (36 acc slabs of
     [g, W_sm]) plus kernel-body temporaries inside the scoped-VMEM budget —
-    ~24 MB of carries at g=64, W_sm=1920.  Scales down for wider planes
-    (e.g. 4K) and clamps to the 8-sublane i32 tile.
+    ~26.5 MB of carries at g=96, W_sm=1920 (g=128 fails to compile there).
+    Scales down for wider planes (4K: g=48, verified compiling on hardware
+    by the TPU campaign) and clamps to the 8-sublane i32 tile.
     """
-    budget = 24 * 1024 * 1024
+    budget = 28 * 1024 * 1024
     g = budget // (144 * W_sm)  # 36 slabs x 4 bytes
-    return int(max(8, min(64, (g // 8) * 8)))
+    return int(max(8, min(96, (g // 8) * 8)))
 
 
 def _width_tiers(w: int, bufH: int, S: int) -> tuple[int, int, int]:
