@@ -40,6 +40,7 @@ from __future__ import annotations
 from sangnom_tpu.core.formats import VideoFormat
 from sangnom_tpu.core.geometry import buffer_stride_elems
 from sangnom_tpu.ops.pallas_kernel import _width_tiers
+from sangnom_tpu.ops.primitives import KernelSpec
 
 OPS_PER_COL_ACT = 140
 OPS_PER_COL_SM = 108
@@ -63,7 +64,7 @@ def kernel_ops_per_frame(fmt: VideoFormat, width: int, height: int,
         bufH = h_out // 2
         if bufH < 2:
             continue
-        W_act, W_sm, _ = _width_tiers(pw, bufH, stride)
+        W_act, W_sm, _ = _width_tiers(pw, bufH, stride, KernelSpec.from_format(fmt))
         steps = bufH - 1
         total += steps * (OPS_PER_COL_ACT * W_act + OPS_PER_COL_SM * W_sm)
     return total

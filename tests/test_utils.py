@@ -36,6 +36,7 @@ def test_cost_model_counts():
     the utilization figure bench.py reports."""
     from sangnom_tpu.core.formats import get_format
     from sangnom_tpu.ops.pallas_kernel import _width_tiers
+    from sangnom_tpu.ops.primitives import KernelSpec
     from sangnom_tpu.utils.cost_model import (
         OPS_PER_COL_ACT,
         OPS_PER_COL_SM,
@@ -47,7 +48,7 @@ def test_cost_model_counts():
     # hand-compose the headline config from the same tiers
     want = 0
     for w, bufH in ((1920, 540), (960, 270), (960, 270)):
-        W_act, W_sm, _ = _width_tiers(w, bufH, 1920)
+        W_act, W_sm, _ = _width_tiers(w, bufH, 1920, KernelSpec.from_format(fmt))
         want += (bufH - 1) * (OPS_PER_COL_ACT * W_act + OPS_PER_COL_SM * W_sm)
     got = kernel_ops_per_frame(fmt, 1920, 540, dh=True)
     assert got == want
