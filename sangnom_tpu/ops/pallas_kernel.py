@@ -177,6 +177,37 @@ def _error_maps(v: list[jnp.ndarray], spec: KernelSpec, w: int,
     return jnp.where(_col_iota(maps.shape) < w, maps, zero)
 
 
+# Two u8 error maps share one i32 lane through the smoothing stage (C
+# numerics only): every smoothing intermediate of a u8 map fits 16 bits
+# (vertical 3-sum <= 3*255 = 765, hbox sum <= 7*765 = 5355), so maps i and
+# i+5 ride one slab as (map_i << 16) | map_(i+5) and the vertical adds +
+# hbox rotate tree — the measured binding op count (compare
+# results/decay_ab_interleaved.txt, a smoothing-stage cut that paid ~1:1,
+# with results/rowcarry_ab_interleaved.txt, a prepare-stage cut that paid
+# nothing) — run on 5 slabs instead of 9.  Fields never interact: sums
+# stay < 2^16 per field, and the packed writeback (h >> 4) & 0x00FF00FF
+# wraps each field to u8 exactly like the scalar (sum >> 4) & 0xFF (bits
+# 4..11 of each field are untouched by the other's).  u16 sums need more
+# than 16 bits and the SSE2-numerics saturating writeback is per-field
+# nonlinear — both keep the unpacked path.
+def _packed_smoothing(spec: KernelSpec) -> bool:
+    return not spec.is_float and not spec.sse2 and spec.mask == 0xFF
+
+
+def _pack_maps(m: jnp.ndarray) -> jnp.ndarray:
+    """[9, ...] raw u8 error maps -> [5, ...] packed slabs."""
+    return jnp.concatenate([(m[0:4] << 16) | m[5:9], m[4:5]], axis=0)
+
+
+def _unpack_sm(sm_p: jnp.ndarray) -> list[jnp.ndarray]:
+    """[5, ...] packed smoothed slabs -> the 9 maps (writeback already
+    masked each field to 0..255, so plain shift/mask extracts)."""
+    hi = sm_p[0:4] >> 16
+    lo = sm_p[0:4] & 0xFFFF
+    return [hi[0], hi[1], hi[2], hi[3], sm_p[4],
+            lo[0], lo[1], lo[2], lo[3]]
+
+
 def _finalize(v, sm, aaf, spec: KernelSpec) -> jnp.ndarray:
     """Min-error priority select for one output row (reference
     src/SangNom2.cpp:161-257); reverse-order masked overwrites realize the
@@ -224,10 +255,14 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
     k1 = k1_ref[0].astype(acc)
     k2 = k2_ref[0].astype(acc)
 
+    packed = _packed_smoothing(spec)
+
     def raw_of(v):
         # raw maps live on the ACTIVE width; zero-extend to the smoothing
         # width (columns beyond are zero-defined padding anyway)
         m = _error_maps(v, spec, w, W_act)
+        if packed:
+            m = _pack_maps(m)
         if W_sm > W_act:
             m = jnp.concatenate(
                 [m, jnp.zeros(m.shape[:-1] + (W_sm - W_act,), m.dtype)],
@@ -256,11 +291,16 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
     # vertical 3-sum uses the ALREADY-SMOOTHED previous row from scratch
     line = sm_ref[...] + raw_ref[...] + raw_next
     h = _hbox7(line, S_clamp, W_sm, spec.is_float)
-    sm = smooth_writeback(h, spec)
+    if packed:
+        sm = jnp.right_shift(h, 4) & 0x00FF00FF  # per-field (>>4) & 0xFF
+        sm9 = _unpack_sm(sm[..., :W_act])
+    else:
+        sm = smooth_writeback(h, spec)
+        sm9 = [sm[i, ..., :W_act] for i in range(9)]
 
     # finalize values are already wrapped to the storage range; the cast
     # back to the narrow dtype is value-preserving
-    res = _finalize(pv, sm[..., :W_act], aaf, spec).astype(out_ref.dtype)
+    res = _finalize(pv, sm9, aaf, spec).astype(out_ref.dtype)
     if weave_offset is None:
         out_ref[0] = res
     else:
@@ -434,8 +474,11 @@ def _interp_chunk(keptp, *, aaf, spec, g, n_steps, w, W_act, W_sm, S_clamp):
         ),
         out_shape=jax.ShapeDtypeStruct((n_steps, g, W_act), keptp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((9, g, W_sm), spec.acc_dtype),  # smoothed row b-1
-            pltpu.VMEM((9, g, W_sm), spec.acc_dtype),  # raw row b
+            # smoothed row b-1 and raw row b (5 packed slabs for u8-C)
+            pltpu.VMEM((5 if _packed_smoothing(spec) else 9, g, W_sm),
+                       spec.acc_dtype),
+            pltpu.VMEM((5 if _packed_smoothing(spec) else 9, g, W_sm),
+                       spec.acc_dtype),
             pltpu.VMEM((18, g, W_act), spec.acc_dtype),  # pair taps/preds
         ],
         compiler_params=pltpu.CompilerParams(
@@ -497,9 +540,10 @@ def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
     row_view = lambda o: pl.BlockSpec(  # noqa: E731
         (1, g, W_act), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
     )
+    n_sm = 5 if _packed_smoothing(spec) else 9
     scratch = [
-        pltpu.VMEM((9, g, W_sm), spec.acc_dtype),  # smoothed row b-1
-        pltpu.VMEM((9, g, W_sm), spec.acc_dtype),  # raw row b
+        pltpu.VMEM((n_sm, g, W_sm), spec.acc_dtype),  # smoothed row b-1
+        pltpu.VMEM((n_sm, g, W_sm), spec.acc_dtype),  # raw row b
         pltpu.VMEM((18, g, W_act), spec.acc_dtype),  # pair taps/preds
     ]
     if offset == 1:

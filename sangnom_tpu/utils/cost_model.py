@@ -25,6 +25,11 @@ sub+abs (2), `avg_pair` is add+add+shift+and (4):
   -----------------------------------------------------------------------
   total: 140/col on W_act + 108/col on W_sm per step
 
+u8 C-numerics runs the PACKED smoothing (pallas_kernel._packed_smoothing:
+two maps per i32 lane, 5 slabs instead of 9): the three W_sm stages scale
+by 5/9 (vertical 10, hbox 40, writeback 10 -> 60/col on W_sm) plus
+pack (shift+or x4) and unpack (shift x4 + and x4) = +16/col on W_act.
+
 This counts ALGORITHMIC vector ops on 8x128 i32 lanes; it excludes DMA,
 edge-slab recompute (<=256 of W_sm columns), and any Mosaic-inserted
 copies, so real utilization is understated if Mosaic spills and overstated
@@ -44,6 +49,9 @@ from sangnom_tpu.ops.primitives import KernelSpec
 
 OPS_PER_COL_ACT = 140
 OPS_PER_COL_SM = 108
+# packed u8 smoothing (pallas_kernel._packed_smoothing)
+OPS_PER_COL_SM_PACKED = 60
+OPS_PER_COL_ACT_PACK_EXTRA = 16
 
 # v5e: (8,128) vreg x 4 ALUs x 0.94 GHz
 VPU_PEAK_OPS = {"v5e": 8 * 128 * 4 * 0.94e9}
@@ -53,7 +61,15 @@ def kernel_ops_per_frame(fmt: VideoFormat, width: int, height: int,
                          dh: bool, luma: bool = True,
                          chroma: bool = True) -> int:
     """Total kernel vector ops for one frame of the given config."""
+    from sangnom_tpu.ops.pallas_kernel import _packed_smoothing
+
     stride = buffer_stride_elems(width, fmt.component_size)
+    spec = KernelSpec.from_format(fmt)
+    if _packed_smoothing(spec):
+        per_act = OPS_PER_COL_ACT + OPS_PER_COL_ACT_PACK_EXTRA
+        per_sm = OPS_PER_COL_SM_PACKED
+    else:
+        per_act, per_sm = OPS_PER_COL_ACT, OPS_PER_COL_SM
     process = [luma, chroma, chroma]
     total = 0
     for i in range(min(fmt.num_planes, 3)):
@@ -64,9 +80,9 @@ def kernel_ops_per_frame(fmt: VideoFormat, width: int, height: int,
         bufH = h_out // 2
         if bufH < 2:
             continue
-        W_act, W_sm, _ = _width_tiers(pw, bufH, stride, KernelSpec.from_format(fmt))
+        W_act, W_sm, _ = _width_tiers(pw, bufH, stride, spec)
         steps = bufH - 1
-        total += steps * (OPS_PER_COL_ACT * W_act + OPS_PER_COL_SM * W_sm)
+        total += steps * (per_act * W_act + per_sm * W_sm)
     return total
 
 

@@ -39,17 +39,22 @@ def test_cost_model_counts():
     from sangnom_tpu.ops.primitives import KernelSpec
     from sangnom_tpu.utils.cost_model import (
         OPS_PER_COL_ACT,
-        OPS_PER_COL_SM,
+        OPS_PER_COL_ACT_PACK_EXTRA,
+        OPS_PER_COL_SM_PACKED,
         kernel_ops_per_frame,
         vpu_utilization,
     )
 
     fmt = get_format("YUV420P8")
-    # hand-compose the headline config from the same tiers
+    # hand-compose the headline config from the same tiers (u8 C-numerics
+    # runs the packed smoothing, so the packed per-column rates apply)
     want = 0
     for w, bufH in ((1920, 540), (960, 270), (960, 270)):
         W_act, W_sm, _ = _width_tiers(w, bufH, 1920, KernelSpec.from_format(fmt))
-        want += (bufH - 1) * (OPS_PER_COL_ACT * W_act + OPS_PER_COL_SM * W_sm)
+        want += (bufH - 1) * (
+            (OPS_PER_COL_ACT + OPS_PER_COL_ACT_PACK_EXTRA) * W_act
+            + OPS_PER_COL_SM_PACKED * W_sm
+        )
     got = kernel_ops_per_frame(fmt, 1920, 540, dh=True)
     assert got == want
     u = vpu_utilization(2959.0, fmt, 1920, 540, dh=True)
