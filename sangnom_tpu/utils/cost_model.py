@@ -12,8 +12,10 @@ sub+abs (2), `avg_pair` is add+add+shift+and (4):
 
   stage (width tier)          ops/col  derivation
   -----------------------------------------------------------------------
-  widen 3 input rows (W_act)      3    u8/u16 -> i32 converts
-  pair_values (W_act)            60    12 clamped taps x3 + 4 calc x6
+  widen 1 input row (W_act)       1    u8/u16 -> i32 convert (k2 only;
+                                       k0/k1 values ride the pair carry)
+  pair update (W_act)            27    7 clamped taps x3 + 2 calc x6
+                                       (row b's half reuses the carry)
   error_maps (W_act)             38    9 abs_diff x2 + pad-mask where x2,
                                        over 9 maps (2 ops each) = 18+18+2
   vertical 3-sum (W_sm)          18    2 adds x 9 maps
@@ -23,7 +25,7 @@ sub+abs (2), `avg_pair` is add+add+shift+and (4):
                                        vert eq/cmp/or + 2 sel + avg_pair
   output cast (W_act)             1
   -----------------------------------------------------------------------
-  total: 140/col on W_act + 108/col on W_sm per step
+  total: 105/col on W_act + 108/col on W_sm per step
 
 u8 C-numerics runs the PACKED smoothing (pallas_kernel._packed_smoothing:
 two maps per i32 lane, 5 slabs instead of 9): the three W_sm stages scale
@@ -47,7 +49,7 @@ from sangnom_tpu.core.geometry import buffer_stride_elems
 from sangnom_tpu.ops.pallas_kernel import _width_tiers
 from sangnom_tpu.ops.primitives import KernelSpec
 
-OPS_PER_COL_ACT = 140
+OPS_PER_COL_ACT = 105
 OPS_PER_COL_SM = 108
 # packed u8 smoothing (pallas_kernel._packed_smoothing)
 OPS_PER_COL_SM_PACKED = 60
