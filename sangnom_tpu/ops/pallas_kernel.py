@@ -340,20 +340,24 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
-def _kernel_batch(W_sm: int) -> int:
+def _kernel_batch(W_sm: int, W_act: int, spec: KernelSpec) -> int:
     """Frames per kernel invocation.
 
     Bigger chunks amortize per-grid-step cost (measured ~5% from 8 -> 64 at
-    1080p in round 1; +2.7% from 48 -> 96 at B=96 in a round-2 interleaved
-    A/B); the cap keeps the persistent VMEM carries (36 acc slabs of
-    [g, W_sm]) plus kernel-body temporaries inside the scoped-VMEM budget —
-    ~26.5 MB of carries at g=96, W_sm=1920 (g=128 fails to compile there).
-    Scales down for wider planes (4K: g=48, verified compiling on hardware
-    by the TPU campaign) and clamps to the 8-sublane i32 tile.
+    1080p in round 1; +2.7% from 48 -> 96 at B=96, and +2.9% from the
+    UV-fused chroma batch running 1x128 instead of 2x64, both round-2
+    interleaved A/Bs — results/chunkcap_ab_interleaved.txt); the budget
+    keeps the persistent VMEM carries (sm+raw at [n_sm, g, W_sm], pair at
+    [18, g, W_act]; n_sm = 5 when the packed u8 smoothing applies) plus
+    kernel-body temporaries inside the scoped-VMEM window.  u8 1080p
+    reaches the 128 cap (verified compiling + running on hardware);
+    wider planes scale down (u8 4K: 64) and clamp to the 8-sublane tile.
     """
     budget = 28 * 1024 * 1024
-    g = budget // (144 * W_sm)  # 36 slabs x 4 bytes
-    return int(max(8, min(96, (g // 8) * 8)))
+    n_sm = 5 if _packed_smoothing(spec) else 9
+    per_frame = 4 * (2 * n_sm * W_sm + 18 * W_act)  # sm+raw / pair carries
+    g = budget // per_frame
+    return int(max(8, min(128, (g // 8) * 8)))
 
 
 # Trace-time switch for the geometric-decay smoothing bound below; exists
@@ -435,7 +439,7 @@ def interpolate_field_batch(
     # Balance chunk size across the minimum number of chunks, so padding
     # stays under one sublane tile per chunk (a flat g=64 would pad a
     # 65-frame batch to 128 — ~2x wasted work).
-    n_chunks = -(-B // _kernel_batch(W_sm))
+    n_chunks = -(-B // _kernel_batch(W_sm, W_act, spec))
     per_chunk = -(-B // n_chunks)
     g = min(B, _round_up(per_chunk, 8))
     n_steps = bufH - 1
@@ -514,7 +518,7 @@ def deinterlace_field_batch_fused(
     """
     B, bufH, w = kept.shape
     W_act, W_sm, S_clamp = _width_tiers(w, bufH, stride, spec)
-    n_chunks = -(-B // _kernel_batch(W_sm))
+    n_chunks = -(-B // _kernel_batch(W_sm, W_act, spec))
     per_chunk = -(-B // n_chunks)
     g = min(B, _round_up(per_chunk, 8))
     n_steps = bufH - 1
