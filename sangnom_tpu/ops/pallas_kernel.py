@@ -62,11 +62,21 @@ def _col_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
+# Trace-time switch: pltpu.roll vs the concatenate rotate (A/B hook).
+# The Mosaic roll primitive measured +2.5%/+7.6% best-of over two
+# interleaved A/B runs on the headline (results/rollprim_ab_interleaved
+# .txt) — it lowers to lane-aligns where the concatenate forms vreg
+# copies.
+_ROLL_PRIM = True
+
+
 def _rot(a: jnp.ndarray, k: int) -> jnp.ndarray:
     """Circular lane rotate: out[..., x] = a[..., (x + k) mod S]."""
     kk = k % a.shape[-1]
     if kk == 0:
         return a
+    if _ROLL_PRIM:
+        return pltpu.roll(a, (-k) % a.shape[-1], axis=a.ndim - 1)
     return jnp.concatenate([a[..., kk:], a[..., :kk]], axis=-1)
 
 
