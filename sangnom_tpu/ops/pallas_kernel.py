@@ -111,6 +111,18 @@ def _hbox7_exact(line: jnp.ndarray, S: int) -> jnp.ndarray:
     return s
 
 
+# Trace-time switch: hierarchical rotate tree + edge-slab merge vs the
+# fully clamped 6-roll form (A/B hook; exact form measured -15.3%,
+# results/hboxexact_ab_interleaved.txt).
+_HBOX_TREE = True
+# Edge-merge strategy for the tree: "concat" merges the edge slabs into
+# the value with a 4-part concatenate; "refstore" stores the bulk to
+# sm_ref and overwrites two aligned 128-lane slabs in place (A/B hook;
+# jax.lax.dynamic_update_slice has no Mosaic lowering, ref slice-stores
+# are the TPU-native form of the same fixup).
+_HBOX_MERGE = "concat"
+
+
 def _hbox7(line: jnp.ndarray, S: int, S_pad: int,
            is_float: bool = False) -> jnp.ndarray:
     """7-tap box sum with clamp-at-S semantics for all columns < S.
@@ -125,7 +137,7 @@ def _hbox7(line: jnp.ndarray, S: int, S_pad: int,
     left-to-right order (integer addition is associative, fp is not), which
     would break the bit-exactness contract through the exact-equality
     min-select."""
-    if is_float or S_pad < 384:
+    if is_float or S_pad < 384 or not _HBOX_TREE:
         return _hbox7_exact(line, S)
 
     a = _rot(line, -1) + line + _rot(line, 1)
@@ -309,13 +321,37 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
     # recursive smoothing step (reference src/SangNom2.cpp:126-159): the
     # vertical 3-sum uses the ALREADY-SMOOTHED previous row from scratch
     line = sm_ref[...] + raw_ref[...] + raw_next
-    h = _hbox7(line, S_clamp, W_sm, spec.is_float)
     if packed:
-        sm = jnp.right_shift(h, 4) & 0x00FF00FF  # per-field (>>4) & 0xFF
-        sm9 = _unpack_sm(sm[..., :W_act])
+        wb = lambda x: jnp.right_shift(x, 4) & 0x00FF00FF  # noqa: E731
     else:
-        sm = smooth_writeback(h, spec)
-        sm9 = [sm[i, ..., :W_act] for i in range(9)]
+        wb = lambda x: smooth_writeback(x, spec)  # noqa: E731
+    refstore = (_HBOX_MERGE == "refstore" and not spec.is_float
+                and W_sm >= 384 and S_clamp % 128 == 0 and S_clamp >= 256)
+    if refstore:
+        # rotate tree on the bulk, with the two edge slabs fixed up by
+        # aligned 128-lane slice-STORES into sm_ref instead of a 4-part
+        # value concatenate; the merged row is re-read for finalize
+        a_ = _rot(line, -1) + line + _rot(line, 1)
+        bulk = _rot(a_, -2) + line + _rot(a_, 2)
+        left = _hbox7_exact(line[..., :128], 128)
+        right = _hbox7_exact(line[..., S_clamp - 128 : S_clamp], 128)
+        col = _col_iota(left.shape)
+        sm_bulk = wb(bulk)
+        sm_ref[...] = sm_bulk
+        sm_ref[:, :, 0:128] = jnp.where(col < 3, wb(left),
+                                        sm_bulk[..., :128])
+        sm_ref[:, :, S_clamp - 128 : S_clamp] = jnp.where(
+            col >= 125, wb(right), sm_bulk[..., S_clamp - 128 : S_clamp]
+        )
+        smv = sm_ref[:, :, 0:W_act]
+    else:
+        sm = wb(_hbox7(line, S_clamp, W_sm, spec.is_float))
+        sm_ref[...] = sm
+        smv = sm[..., :W_act]
+    if packed:
+        sm9 = _unpack_sm(smv)
+    else:
+        sm9 = [smv[i] for i in range(9)]
 
     # finalize values are already wrapped to the storage range; the cast
     # back to the narrow dtype is value-preserving
@@ -342,7 +378,6 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
             out_ref[0] = jnp.where(t == 0, k0_raw, prev_ref[...])
             out_ref[1] = k0_raw
             prev_ref[...] = res
-    sm_ref[...] = sm
     raw_ref[...] = raw_next
     pair_ref[...] = jnp.stack(v12)
 
