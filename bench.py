@@ -60,6 +60,12 @@ def measure_sse2_baseline() -> tuple[float, str]:
                 capture_output=True, text=True, timeout=600,
             )
             best = max(best, float(json.loads(out.stdout)["value"]))
+        if best < SSE2_MEASURED_FPS_RECORDED:
+            # this host's lone vCPU is shared; a contended live run must
+            # not FLATTER vs_baseline — floor at the recorded best
+            return SSE2_MEASURED_FPS_RECORDED, (
+                f"recorded best (live run contended: {best:.1f} fps)"
+            )
         return best, "measured live (tools/sse2_baseline)"
     except Exception as e:  # toolchain missing, build failure, ...
         return SSE2_MEASURED_FPS_RECORDED, f"recorded (live run failed: {e})"
