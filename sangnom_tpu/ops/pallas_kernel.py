@@ -268,15 +268,12 @@ def _finalize(v, sm, aaf, spec: KernelSpec) -> jnp.ndarray:
 
 def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
             prev_ref=None, *, spec, w, W_act, W_sm, S_clamp, n_steps, aaf,
-            weave_offset=None, direct=False):
+            weave_offset=None):
     t = pl.program_id(0)
-    # row blocks are [1, g, W] in the row-major chunk layout, [g, 1, W]
-    # when reading the frame-major user layout directly (direct=True)
-    row = (lambda ref: ref[:, 0]) if direct else (lambda ref: ref[0])
     # rows stream in the narrow STORAGE dtype (u8/u16/f32) and widen to the
     # accumulator inside VMEM — 4x less DMA for 8-bit planes
     acc = spec.acc_dtype
-    k2 = row(k2_ref).astype(acc)
+    k2 = k2_ref[0].astype(acc)
 
     packed = _packed_smoothing(spec)
 
@@ -297,7 +294,7 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
     def _():
         # buffer row 0 is zero-defined; raw[1] comes from kept pair (0, 1),
         # whose taps/predictors seed the pair carry for this step's finalize
-        v01 = _pair_values(row(k0_ref).astype(acc), row(k1_ref).astype(acc),
+        v01 = _pair_values(k0_ref[0].astype(acc), k1_ref[0].astype(acc),
                            spec, w)
         pair_ref[...] = jnp.stack(v01)
         raw_ref[...] = raw_of(v01)
@@ -359,34 +356,27 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
     # finalize values are already wrapped to the storage range; the cast
     # back to the narrow dtype is value-preserving
     res = _finalize(pv, sm9, aaf, spec).astype(out_ref.dtype)
-
-    def emit(i, val):
-        if direct:
-            out_ref[:, i] = val
-        else:
-            out_ref[i] = val
-
     if weave_offset is None:
-        emit(0, res)
+        out_ref[0] = res
     else:
         # in-kernel weave: each step emits output rows {2t, 2t+1} of the
         # final interleaved plane (kept rows are already in VMEM as inputs
         # — writing them here replaces a whole-plane XLA interleave pass).
         # The grid runs ONE extra step (t == n_steps) for the tail rows;
         # its finalize result is discarded via the selects below.
-        k0_raw = row(k0_ref)  # kept row t, STORAGE dtype (pre-widening)
+        k0_raw = k0_ref[0]  # kept row t, STORAGE dtype (pre-widening)
         if weave_offset == 0:
             # rows {2t, 2t+1} = (kept[t], interp[t]); tail rows
             # {2n, 2n+1} = (kept[bufH-1], duplicate) — boundary line
             # duplication per reference src/SangNom2.cpp:381-385
-            emit(0, k0_raw)
-            emit(1, jnp.where(t < n_steps, res, k0_raw))
+            out_ref[0] = k0_raw
+            out_ref[1] = jnp.where(t < n_steps, res, k0_raw)
         else:
             # rows {2t, 2t+1} = (interp[t-1], kept[t]); row 0 duplicates
             # kept[0] (reference src/SangNom2.cpp:386-391).  interp rows
             # are emitted one step LATE, carried in prev_ref scratch.
-            emit(0, jnp.where(t == 0, k0_raw, prev_ref[...]))
-            emit(1, k0_raw)
+            out_ref[0] = jnp.where(t == 0, k0_raw, prev_ref[...])
+            out_ref[1] = k0_raw
             prev_ref[...] = res
     raw_ref[...] = raw_next
     pair_ref[...] = jnp.stack(v12)
@@ -418,12 +408,6 @@ def _kernel_batch(W_sm: int, W_act: int, spec: KernelSpec) -> int:
 # Trace-time switch for the geometric-decay smoothing bound below; exists
 # so perf A/B harnesses can compile both variants in one process.
 _DECAY_BOUND = True
-
-# Trace-time switch: stream rows from the frame-major user layout via
-# [g, 1, W] blocks (True) instead of pre-transposing to the row-major
-# chunk layout and reading [1, g, W] blocks (False) — A/B hook for
-# whether the in-kernel relayout beats the host-side XLA transposes.
-_DIRECT_LAYOUT = False
 
 
 def _decay_hops(mask: int) -> int:
@@ -510,11 +494,12 @@ def interpolate_field_batch(
     # one zero row below (raw[bufH] operand), zero columns out to W_act,
     # frames padded to a whole number of chunks
     kp = jnp.pad(kept, ((0, pad), (0, 1), (0, W_act - w)))
-    if _DIRECT_LAYOUT:
-        kp = kp.reshape(G, g, bufH + 1, W_act)  # frame-major, no transpose
-    else:
-        # [G, bufH+1, g, W_act]: row-major chunk layout in one big transpose
-        kp = jnp.moveaxis(kp.reshape(G, g, bufH + 1, W_act), 2, 1)
+    # [G, bufH+1, g, W_act]: row-major chunk layout in one big transpose.
+    # (Reading the frame-major layout directly via [g, 1, W] blocks is NOT
+    # possible: Mosaic requires the last two block dims to be multiples of
+    # (8, 128) or equal to the array dims — a 1-row block is rejected at
+    # lowering, so the host-side transpose to row-major is load-bearing.)
+    kp = jnp.moveaxis(kp.reshape(G, g, bufH + 1, W_act), 2, 1)
 
     run = functools.partial(
         _interp_chunk, aaf=aaf, spec=spec, g=g, n_steps=n_steps, w=w,
@@ -523,11 +508,8 @@ def interpolate_field_batch(
     if G == 1:
         out = run(kp[0])[None]
     else:
-        out = jax.lax.map(run, kp)
-    if _DIRECT_LAYOUT:
-        out = out.reshape(G * g, n_steps, W_act)
-    else:
-        out = jnp.moveaxis(out, 2, 1).reshape(G * g, n_steps, W_act)
+        out = jax.lax.map(run, kp)  # [G, n_steps, g, W_act]
+    out = jnp.moveaxis(out, 2, 1).reshape(G * g, n_steps, W_act)
     return out[:B, :, :w]
 
 
@@ -540,26 +522,16 @@ def _interp_chunk(keptp, *, aaf, spec, g, n_steps, w, W_act, W_sm, S_clamp):
     """
     kernel = functools.partial(
         _kernel, spec=spec, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
-        n_steps=n_steps, aaf=aaf, direct=_DIRECT_LAYOUT,
+        n_steps=n_steps, aaf=aaf,
     )
-    if _DIRECT_LAYOUT:
-        row_view = lambda o: pl.BlockSpec(  # noqa: E731
-            (g, 1, W_act), lambda t, o=o: (0, t + o, 0),
-            memory_space=pltpu.VMEM,
-        )
-        out_spec = pl.BlockSpec(
-            (g, 1, W_act), lambda t: (0, t, 0), memory_space=pltpu.VMEM
-        )
-        out_shape = jax.ShapeDtypeStruct((g, n_steps, W_act), keptp.dtype)
-    else:
-        row_view = lambda o: pl.BlockSpec(  # noqa: E731
-            (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        out_spec = pl.BlockSpec(
-            (1, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-        )
-        out_shape = jax.ShapeDtypeStruct((n_steps, g, W_act), keptp.dtype)
+    row_view = lambda o: pl.BlockSpec(  # noqa: E731
+        (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n_steps, g, W_act), keptp.dtype)
     return pl.pallas_call(
         kernel,
         grid=(n_steps,),
@@ -608,10 +580,7 @@ def deinterlace_field_batch_fused(
     # TWO zero rows below: the weave grid runs one extra step whose pair
     # views reach kept rows bufH and bufH+1
     kp = jnp.pad(kept, ((0, pad), (0, 2), (0, W_act - w)))
-    if _DIRECT_LAYOUT:
-        kp = kp.reshape(G, g, bufH + 2, W_act)  # frame-major, no transpose
-    else:
-        kp = jnp.moveaxis(kp.reshape(G, g, bufH + 2, W_act), 2, 1)
+    kp = jnp.moveaxis(kp.reshape(G, g, bufH + 2, W_act), 2, 1)
 
     run = functools.partial(
         _deint_chunk, offset=offset, aaf=aaf, spec=spec, g=g,
@@ -620,11 +589,8 @@ def deinterlace_field_batch_fused(
     if G == 1:
         out = run(kp[0])[None]
     else:
-        out = jax.lax.map(run, kp)
-    if _DIRECT_LAYOUT:
-        out = out.reshape(G * g, 2 * bufH, W_act)
-    else:
-        out = jnp.moveaxis(out, 2, 1).reshape(G * g, 2 * bufH, W_act)
+        out = jax.lax.map(run, kp)  # [G, 2*bufH, g, W_act]
+    out = jnp.moveaxis(out, 2, 1).reshape(G * g, 2 * bufH, W_act)
     return out[:B, :, :w]
 
 
@@ -635,30 +601,17 @@ def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
     kernel = functools.partial(
         _kernel, spec=spec, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
         n_steps=n_steps, aaf=aaf, weave_offset=offset,
-        direct=_DIRECT_LAYOUT,
     )
-    if _DIRECT_LAYOUT:
-        row_view = lambda o: pl.BlockSpec(  # noqa: E731
-            (g, 1, W_act), lambda t, o=o: (0, t + o, 0),
-            memory_space=pltpu.VMEM,
-        )
-        out_spec = pl.BlockSpec(
-            (g, 2, W_act), lambda t: (0, t, 0), memory_space=pltpu.VMEM
-        )
-        out_shape = jax.ShapeDtypeStruct(
-            (g, 2 * (n_steps + 1), W_act), keptp.dtype
-        )
-    else:
-        row_view = lambda o: pl.BlockSpec(  # noqa: E731
-            (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        out_spec = pl.BlockSpec(
-            (2, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-        )
-        out_shape = jax.ShapeDtypeStruct(
-            (2 * (n_steps + 1), g, W_act), keptp.dtype
-        )
+    row_view = lambda o: pl.BlockSpec(  # noqa: E731
+        (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (2, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (2 * (n_steps + 1), g, W_act), keptp.dtype
+    )
     n_sm = 5 if _packed_smoothing(spec) else 9
     scratch = [
         pltpu.VMEM((n_sm, g, W_sm), spec.acc_dtype),  # smoothed row b-1
