@@ -143,7 +143,10 @@ def main() -> None:
 
     fmt = get_format("YUV420P8")
     rng = np.random.default_rng(7)
-    B = 64
+    # 120 frames = one luma kernel chunk at the VMEM cap; measured +12.1%
+    # per frame over B=64 (results/batch120_ab_interleaved.txt; B=128
+    # measured a tie at -1.3%)
+    B = 120
     planes = [
         rng.integers(0, 256, (B, 540, 1920)).astype(np.uint8),
         rng.integers(0, 256, (B, 270, 960)).astype(np.uint8),

@@ -383,6 +383,8 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
 
 
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+# Chunk-cap A/B hook (frames per kernel invocation; budget still binds).
+_CHUNK_CAP = 128
 
 
 def _kernel_batch(W_sm: int, W_act: int, spec: KernelSpec) -> int:
@@ -402,7 +404,7 @@ def _kernel_batch(W_sm: int, W_act: int, spec: KernelSpec) -> int:
     n_sm = 5 if _packed_smoothing(spec) else 9
     per_frame = 4 * (2 * n_sm * W_sm + 18 * W_act)  # sm+raw / pair carries
     g = budget // per_frame
-    return int(max(8, min(128, (g // 8) * 8)))
+    return int(max(8, min(_CHUNK_CAP, (g // 8) * 8)))
 
 
 # Trace-time switch for the geometric-decay smoothing bound below; exists
