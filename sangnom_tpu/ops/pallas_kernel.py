@@ -384,7 +384,10 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
 
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 # Chunk-cap A/B hook (frames per kernel invocation; budget still binds).
-_CHUNK_CAP = 128
+# 256 lets the narrow chroma planes run the fused-UV batch as ONE chunk
+# (240 frames at the B=120 headline): +4.2% interleaved A/B vs 128,
+# results/cap256_ab_interleaved.txt; wide planes stay budget-bound.
+_CHUNK_CAP = 256
 
 
 def _kernel_batch(W_sm: int, W_act: int, spec: KernelSpec) -> int:
@@ -396,9 +399,10 @@ def _kernel_batch(W_sm: int, W_act: int, spec: KernelSpec) -> int:
     interleaved A/Bs — results/chunkcap_ab_interleaved.txt); the budget
     keeps the persistent VMEM carries (sm+raw at [n_sm, g, W_sm], pair at
     [18, g, W_act]; n_sm = 5 when the packed u8 smoothing applies) plus
-    kernel-body temporaries inside the scoped-VMEM window.  u8 1080p
-    reaches the 128 cap (verified compiling + running on hardware);
-    wider planes scale down (u8 4K: 64) and clamp to the 8-sublane tile.
+    kernel-body temporaries inside the scoped-VMEM window.  u8 1080p luma
+    reaches g=128, the fused-UV chroma batch g=240+ (both verified
+    compiling + running on hardware); wider planes scale down (u8 4K: 64)
+    and clamp to the 8-sublane tile.
     """
     budget = 28 * 1024 * 1024
     n_sm = 5 if _packed_smoothing(spec) else 9
