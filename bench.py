@@ -86,7 +86,7 @@ def _config_matrix(Clip, get_format, sangnom2, checksum, rng, oracle_frame):
          dict(order=1, aa=128, aac=64)),
         ("cfg5f_540p_YUV444PS", "YUV444PS", 960, 540, dict(order=2)),
     ]
-    B = 16
+    B = 64  # throughput batch; chunk caps make small planes one chunk
     results = {}
     for name, fname, w, h, kw in cases:
         fmt = get_format(fname)
