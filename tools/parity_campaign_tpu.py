@@ -1,7 +1,13 @@
 """TPU campaign: fused Pallas kernel (opt=1) vs native oracle on real
 hardware, across format families and geometries (a fixed shape set to bound
 remote compiles), including chroma width-tier cases and batch chunking.
+
+``--random N [seed]`` instead runs N randomly drawn cases (format, odd-ball
+geometry, order/dh/aa/aac/plane-mask/parity all randomized) — each is a
+fresh Mosaic compile, so N bounds wall-clock.
 """
+import sys
+
 import numpy as np
 from sangnom_tpu import Clip, get_format, sangnom2
 from sangnom_tpu.oracle import sangnom2_frame_oracle
@@ -24,8 +30,55 @@ CASES = [
     ("GRAY16", 3840, 1080, 1, dict(order=2, dh=True)),     # 4K-wide u16 bob
 ]
 
+RANDOM_FORMATS = [
+    "GRAY8", "GRAY10", "GRAY16", "YUV420P8", "YUV420P10", "YUV420P16",
+    "YUV422P8", "YUV422P12", "YUV444P8", "YUV444P14", "YUV411P8",
+    "YUVA420P8", "YUVA444P16", "GRAYS", "YUV444PS",
+]
+
+
+def random_cases(n_cases: int, seed: int):
+    rng = np.random.default_rng(seed)
+    cases = []
+    for _ in range(n_cases):
+        fname = RANDOM_FORMATS[rng.integers(len(RANDOM_FORMATS))]
+        # 411 needs w % 4 == 0; keep all dims subsampling-safe via mod 4,
+        # then add the odd-ball variants the fixed set lacks
+        w = int(rng.integers(24, 260)) * 4  # 96..1036
+        h = int(rng.integers(4, 180)) * 4  # 16..716
+        kw = dict(
+            order=int(rng.integers(3)),
+            dh=bool(rng.integers(2)),
+            aa=int(rng.integers(129)),
+            aac=int(rng.integers(129)),
+            luma=bool(rng.integers(2)),
+            chroma=bool(rng.integers(2)),
+        )
+        # don't burn a compile-bounded slot on a pure passthrough: with
+        # dh=False and every processed plane masked off the filter copies
+        # the input verbatim (dh=True always processes — SURVEY quirk 7)
+        has_chroma = get_format(fname).num_planes > 1
+        if not kw["dh"] and not kw["luma"] and not (
+            kw["chroma"] and has_chroma
+        ):
+            kw["luma"] = True
+        cases.append((fname, w, h, int(rng.integers(1, 4)), kw))
+    return cases
+
+
+CAMPAIGN = CASES
+if "--random" in sys.argv:
+    i = sys.argv.index("--random")
+    try:
+        n_rand = int(sys.argv[i + 1])
+    except (IndexError, ValueError):
+        sys.exit("usage: parity_campaign_tpu.py --random N [seed]")
+    seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 20260817
+    CAMPAIGN = random_cases(n_rand, seed)
+    print(f"randomized campaign: {n_rand} cases, seed {seed}", flush=True)
+
 fails = 0
-for k, (fname, w, h, n, kw) in enumerate(CASES):
+for k, (fname, w, h, n, kw) in enumerate(CAMPAIGN):
     rng = np.random.default_rng(500 + k)
     fmt = get_format(fname)
     planes = []
@@ -51,6 +104,6 @@ for k, (fname, w, h, n, kw) in enumerate(CASES):
                       flush=True)
     fails += case_fails
     verdict = "OK" if case_fails == 0 else f"FAIL ({case_fails})"
-    print(f"[{k+1}/{len(CASES)}] {fname} {w}x{h} n={n} {kw}: {verdict}",
+    print(f"[{k+1}/{len(CAMPAIGN)}] {fname} {w}x{h} n={n} {kw}: {verdict}",
           flush=True)
-print(f"TPU CAMPAIGN DONE: {len(CASES)} cases, {fails} failures")
+print(f"TPU CAMPAIGN DONE: {len(CAMPAIGN)} cases, {fails} failures")
