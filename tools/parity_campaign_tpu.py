@@ -66,8 +66,46 @@ def random_cases(n_cases: int, seed: int):
     return cases
 
 
+def compat_cases(n_cases: int, seed: int):
+    """Random cases over the COMPAT axes (numerics=sse2, pool_compat) —
+    checked as opt=1 vs opt=0 on device (the CPU suites pin opt=0 to the
+    native oracle; this validates the Pallas codegen of the compat
+    variants on real Mosaic, where interpret-mode tests are blind)."""
+    rng = np.random.default_rng(seed)
+    cases = []
+    for _ in range(n_cases):
+        fname = RANDOM_FORMATS[rng.integers(len(RANDOM_FORMATS))]
+        w = int(rng.integers(24, 200)) * 4
+        h = int(rng.integers(4, 140)) * 4
+        kw = dict(
+            order=int(rng.integers(3)),
+            dh=bool(rng.integers(2)),
+            aa=int(rng.integers(129)),
+            aac=int(rng.integers(129)),
+            pool_compat=bool(rng.integers(2)),
+        )
+        if not get_format(fname).is_float:
+            kw["numerics"] = "sse2" if rng.integers(2) else "c"
+        if not kw["pool_compat"] and kw.get("numerics", "c") == "c":
+            kw["numerics"] = "sse2"  # every case exercises a compat axis
+        cases.append((fname, w, h, int(rng.integers(1, 3)), kw))
+    return cases
+
+
 CAMPAIGN = CASES
-if "--random" in sys.argv:
+MODE = "oracle"
+if "--compat" in sys.argv:
+    i = sys.argv.index("--compat")
+    try:
+        n_rand = int(sys.argv[i + 1])
+    except (IndexError, ValueError):
+        sys.exit("usage: parity_campaign_tpu.py --compat N [seed]")
+    seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 20260817
+    CAMPAIGN = compat_cases(n_rand, seed)
+    MODE = "opt0"
+    print(f"compat-axis campaign: {n_rand} cases, seed {seed} "
+          f"(opt=1 vs opt=0 on device)", flush=True)
+elif "--random" in sys.argv:
     i = sys.argv.index("--random")
     try:
         n_rand = int(sys.argv[i + 1])
@@ -91,17 +129,28 @@ for k, (fname, w, h, n, kw) in enumerate(CAMPAIGN):
             planes.append(rng.integers(0, top+1, (n, ph, pw)).astype(fmt.dtype))
     clip = Clip.from_numpy(planes, fmt)
     got = sangnom2(clip, opt=1, **kw)
-    # check first and last frame against the oracle
     case_fails = 0
-    for fr in {0, n - 1}:
-        want = sangnom2_frame_oracle([p[fr] for p in planes], fmt,
-                                     frame_parity=clip.get_parity(fr), **kw)
-        for i, wp in enumerate(want):
-            g = np.asarray(got.planes[i])[fr]
-            if not np.array_equal(g, wp):
+    if MODE == "opt0":
+        # compat axes: cross-check the two on-device backends whole-clip
+        want_clip = sangnom2(clip, opt=0, **kw)
+        for i in range(fmt.num_planes):
+            if not np.array_equal(np.asarray(got.planes[i]),
+                                  np.asarray(want_clip.planes[i])):
                 case_fails += 1
-                print(f"MISMATCH {fname} {w}x{h} {kw} frame {fr} plane {i}",
-                      flush=True)
+                print(f"MISMATCH {fname} {w}x{h} {kw} plane {i}", flush=True)
+    else:
+        # check first and last frame against the native oracle
+        for fr in {0, n - 1}:
+            want = sangnom2_frame_oracle(
+                [p[fr] for p in planes], fmt,
+                frame_parity=clip.get_parity(fr), **kw,
+            )
+            for i, wp in enumerate(want):
+                g = np.asarray(got.planes[i])[fr]
+                if not np.array_equal(g, wp):
+                    case_fails += 1
+                    print(f"MISMATCH {fname} {w}x{h} {kw} frame {fr} "
+                          f"plane {i}", flush=True)
     fails += case_fails
     verdict = "OK" if case_fails == 0 else f"FAIL ({case_fails})"
     print(f"[{k+1}/{len(CAMPAIGN)}] {fname} {w}x{h} n={n} {kw}: {verdict}",
