@@ -197,9 +197,20 @@ def interpolate_field(
 
     curr, nxt = kept[:-1], kept[1:]  # kept pairs for buffer rows 1..bufH-1
 
+    # Smoothing width: the zero-defined padding decays to EXACT zero within
+    # `_decay_hops` rows for integer formats (see ops.pallas_kernel.
+    # _width_tiers — same proof, same +6 clamp parking; the fused kernel's
+    # bound is oracle-verified), so the scan needn't run the full
+    # luma-derived stride.  Float keeps the stride (no exact decay).
+    S_sm = stride
+    if not spec.is_float:
+        from sangnom_tpu.ops.pallas_kernel import _decay_hops
+
+        S_sm = min(stride, w + 3 * _decay_hops(spec.mask) + 6)
+
     # stage 1: prepare (reference src/SangNom2.cpp:74-124)
     raw = _error_maps(curr, nxt, spec)  # [9, bufH-1, w]
-    raw = jnp.pad(raw, ((0, 0), (1, 1), (0, stride - w)))  # zero-defined pool
+    raw = jnp.pad(raw, ((0, 0), (1, 1), (0, S_sm - w)))  # zero-defined pool
 
     # stage 2: smooth (reference src/SangNom2.cpp:126-159)
     sm = smooth_scan(raw, spec)  # [bufH-1, 9, S]
