@@ -124,9 +124,16 @@ def deinterlace_plane_batch(
         if offsets == 0:
             return weave(kept, jnp.concatenate([interp, kept[:, -1:]], axis=1))
         return weave(jnp.concatenate([kept[:, :1], interp], axis=1), kept)
-    out0 = weave(kept, jnp.concatenate([interp, kept[:, -1:]], axis=1))
-    out1 = weave(jnp.concatenate([kept[:, :1], interp], axis=1), kept)
-    return jnp.where((offsets == 0)[:, None, None], out0, out1)
+    # traced per-frame offsets: select the HALF-HEIGHT weave inputs per
+    # frame and interleave once — value-identical to building both woven
+    # planes and selecting, at ~25% less assembly traffic (one full-height
+    # interleave copy instead of two)
+    is0 = (offsets == 0)[:, None, None]
+    top = jnp.where(is0, kept, jnp.concatenate([kept[:, :1], interp], axis=1))
+    bottom = jnp.where(
+        is0, jnp.concatenate([interp, kept[:, -1:]], axis=1), kept
+    )
+    return weave(top, bottom)
 
 
 def field_offsets(order: int, parity: jax.Array) -> Offset:
