@@ -355,9 +355,10 @@ def _order0_static_split(clip, parity, aa, aac, dh, luma, chroma, opt,
     """order=0 with host-concrete parity: resolve the per-frame offsets NOW
     and dispatch static-offset kernels instead of the traced-offset path.
 
-    The traced path must assemble BOTH weaves and select per frame
-    (measured +10.3% over a static order at 1080p) and cannot use the
-    in-kernel weave.  At this level the parity array is a concrete value
+    The traced path selects per-frame weave inputs in-graph (round 2:
+    single-interleave form, +8.9% over the double-weave original —
+    results/weavesel_ab_interleaved.txt) and cannot use the in-kernel
+    weave (a static order measured a further ~10% faster).  At this level the parity array is a concrete value
     (AviSynth's GetParity is a host call too, reference
     src/SangNom2.cpp:338), so a UNIFORM batch collapses to order 1/2
     outright.  A mixed batch (e.g. bob's alternation) stays on the traced
