@@ -24,6 +24,10 @@ Documented quirks carried over or fixed:
 
 from __future__ import annotations
 
+import os
+
+import jax
+
 from sangnom_tpu.core.clip import Clip
 from sangnom_tpu.ops.sangnom import sangnom2_op
 
@@ -31,6 +35,22 @@ from sangnom_tpu.ops.sangnom import sangnom2_op
 class SangNomError(ValueError):
     """Parameter/format validation failure (the analogue of
     env->ThrowError in the reference factories)."""
+
+
+def _opt1_backend_ok() -> bool:
+    """Whether opt=1 (the fused Pallas kernel) may be requested here.
+
+    The reference rejects opt=1 at construction when the CPU lacks SSE2
+    (reference src/SangNom2.cpp:420-421 "opt=1 requires SSE2."); the
+    TPU-native analogue rejects opt=1 when no TPU backend is present —
+    off-TPU the Pallas kernel only runs in interpret mode, a debugging
+    path orders of magnitude slower than opt=0.  Setting
+    ``SANGNOM_TPU_INTERPRET=1`` opts into interpret mode explicitly (the
+    test suites use it: the interpret-mode kernel doubles as the
+    out-of-bounds sanitizer, SURVEY.md §5)."""
+    if jax.default_backend() == "tpu":
+        return True
+    return os.environ.get("SANGNOM_TPU_INTERPRET", "") == "1"
 
 
 def _validate(name: str, clip: Clip, order: int, aa: int, aac: int, opt: int) -> None:
@@ -52,6 +72,10 @@ def _validate(name: str, clip: Clip, order: int, aa: int, aac: int, opt: int) ->
         # error string replicated verbatim from the reference, including its
         # off-by-one upper bound (src/SangNom2.cpp:419-420)
         raise SangNomError(f"{name}: opt must be between -1..2.")
+    if opt == 1 and not _opt1_backend_ok():
+        # the analogue of the reference's construction-time CPUID gate
+        # (src/SangNom2.cpp:420-421 "opt=1 requires SSE2.")
+        raise SangNomError(f"{name}: opt=1 requires a TPU backend.")
 
 
 def sangnom2(
@@ -72,6 +96,13 @@ def sangnom2(
     Defaults match the reference factory (src/SangNom2.cpp:402-405, 424-434):
     order=1 (keep top field), aa=48, aac=0, threads=0 (ignored), dh=False,
     luma=True, chroma=True, opt=-1 (auto backend).
+
+    ``opt=1`` requires a TPU backend, the analogue of the reference's
+    construction-time "opt=1 requires SSE2." CPUID gate (src/SangNom2.cpp:
+    420-421) — off-TPU the Pallas kernel only runs in interpret mode.  Set
+    ``SANGNOM_TPU_INTERPRET=1`` to allow that explicitly (tests do; it is
+    the out-of-bounds sanitizer, not a performance path).  ``opt=-1``
+    never needs the gate: it auto-selects the XLA backend off-TPU.
 
     Framework extensions (no reference analogue):
     * ``pool_compat=True`` reproduces the reference's shared-buffer-pool
@@ -145,6 +176,8 @@ class SangNom2Filter:
             raise SangNomError("SangNom2: aac must be between 0..128.")
         if opt < -1 or opt > 1:
             raise SangNomError("SangNom2: opt must be between -1..2.")
+        if opt == 1 and not _opt1_backend_ok():
+            raise SangNomError("SangNom2: opt=1 requires a TPU backend.")
         if numerics not in ("c", "sse2"):
             raise SangNomError(
                 f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."

@@ -8,6 +8,10 @@ multi-chip sharding paths are validated here exactly as the driver's
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# opt=1 off-TPU is gated like the reference's "opt=1 requires SSE2."
+# construction check; the suite opts into interpret mode explicitly (the
+# interpret-mode Pallas kernel is the OOB sanitizer, SURVEY.md §5)
+os.environ.setdefault("SANGNOM_TPU_INTERPRET", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
