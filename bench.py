@@ -1,7 +1,14 @@
 """Headline benchmark: 1080p bob+dh deinterlace frames/sec/chip.
 
-Matches BASELINE.json's metric: YUV420 8-bit, dh height-doubling to 1080p
-(the "bob" configuration), bit-exact 8-bit output verified against the
+Matches BASELINE.json's metric LITERALLY (round 3): the timed headline is
+TRUE BOB — interlaced 1080p YUV420 8-bit frames through the reference's
+documented double-rate recipe (SeparateFields -> DoubleWeave ->
+SangNom2(order=0), reference src/SangNom2.cpp:18-23, here core.fields.bob
+with its fused fast path) — alternating per-frame parity included.  fps
+counts OUTPUT (deinterlaced) frames, the same unit the SSE2 baseline
+harness reports for its identical per-output-frame dh workload.  The
+order=1 uniform-parity dh number (round 2's headline) is kept as the
+``order1_dh_fps`` key.  Bit-exact 8-bit output is verified against the
 native oracle before timing.
 
 Baseline: the reference's OWN SSE2 path, measured single-core on this host
@@ -199,17 +206,61 @@ def main() -> None:
 
     iters = 10
     _ = float(sync(sangnom2(clip, opt=-1, **kwargs).planes))  # warm
-    trials = []
+    trials_o1 = []
     for _trial in range(5):
         t0 = time.perf_counter()
         acc = [sync(sangnom2(clip, opt=-1, **kwargs).planes)
                for _ in range(iters)]
         np.asarray(jnp.stack(acc))  # forces every iteration
+        trials_o1.append((time.perf_counter() - t0) / iters)
+    dt_o1 = min(trials_o1)
+    fps_o1 = B / dt_o1
+    log(f"{backend} order=1 dh: {dt_o1*1e3:.2f} ms / {B} frames "
+        f"-> {fps_o1:.0f} frames/s (best of 5 trials, checksum-forced)")
+
+    # --- TRUE BOB: the metric's literal workload --------------------------
+    # Interlaced 1080p frames -> SeparateFields -> fused order=0 dh with
+    # ALTERNATING per-frame parity (the per-frame-offset in-kernel weave).
+    from sangnom_tpu.core.fields import bob, double_weave, separate_fields
+
+    B_in = B // 2  # 60 interlaced frames -> B output frames
+    bob_planes = [
+        rng.integers(0, 256, (B_in, 1080, 1920)).astype(np.uint8),
+        rng.integers(0, 256, (B_in, 540, 960)).astype(np.uint8),
+        rng.integers(0, 256, (B_in, 540, 960)).astype(np.uint8),
+    ]
+    clip_bob = Clip.from_numpy(bob_planes, fmt, tff=True)
+    # parity gate: 2 input frames -> 4 output frames, each vs the oracle on
+    # the woven frame it is defined to equal
+    clip2 = Clip.from_numpy([p[:2] for p in bob_planes], fmt, tff=True)
+    out_bob = bob(clip2)
+    woven = double_weave(separate_fields(clip2))
+    for n in range(4):
+        want = sangnom2_frame_oracle(
+            [np.asarray(p)[n] for p in woven.planes], fmt, order=0,
+            frame_parity=woven.get_parity(n),
+        )
+        for i in range(3):
+            got = np.asarray(out_bob.planes[i])[n]
+            if not np.array_equal(got, want[i]):
+                log(f"BOB BIT-EXACTNESS FAILURE frame {n} plane {i}")
+                print(json.dumps({"metric": "1080p_bob_dh_fps_per_chip",
+                                  "value": 0.0, "unit": "frames/s",
+                                  "vs_baseline": 0.0, "error": "bob parity"}))
+                sys.exit(1)
+    log("true-bob bit-exactness vs native oracle: OK (4 frames x 3 planes)")
+
+    _ = float(sync(bob(clip_bob).planes))  # warm
+    trials = []
+    for _trial in range(5):
+        t0 = time.perf_counter()
+        acc = [sync(bob(clip_bob).planes) for _ in range(iters)]
+        np.asarray(jnp.stack(acc))
         trials.append((time.perf_counter() - t0) / iters)
     dt = min(trials)
     spread = (max(trials) - dt) / dt * 100
-    fps = B / dt
-    log(f"{backend} fused-pallas: {dt*1e3:.2f} ms / {B} frames "
+    fps = B / dt  # B output frames per bob() call
+    log(f"{backend} TRUE BOB: {dt*1e3:.2f} ms / {B} output frames "
         f"-> {fps:.0f} frames/s (best of 5 trials, checksum-forced; "
         f"trial spread {spread:.0f}% — the chip is pool-contended)")
 
@@ -226,6 +277,7 @@ def main() -> None:
 
     # --- the full BASELINE.json config matrix -------------------------------
     configs = {}
+    pool_fps = None
     if "--headline-only" not in sys.argv:
         log("config matrix (BASELINE.json):")
         configs = _config_matrix(
@@ -233,16 +285,33 @@ def main() -> None:
         )
         if any(c["parity"] != "ok" for c in configs.values()):
             log("CONFIG-MATRIX PARITY FAILURE")
+        # pool_compat cost (VERDICT_r2 #6): the exact-live-reference
+        # emulation is inherently sequential (the pool is cross-frame
+        # state); record what a user pays for it.  Small batch — the mode
+        # is measured in frames/s, not competitive throughput.
+        Bp = 8
+        clip_p = Clip.from_numpy([p[:Bp] for p in planes], fmt)
+        _ = float(sync(sangnom2(clip_p, pool_compat=True, **kwargs).planes))
+        t0 = time.perf_counter()
+        acc = [sync(sangnom2(clip_p, pool_compat=True, **kwargs).planes)
+               for _ in range(3)]
+        np.asarray(jnp.stack(acc))
+        pool_fps = Bp / ((time.perf_counter() - t0) / 3)
+        log(f"pool_compat 1080p 4:2:0: {pool_fps:.1f} frames/s "
+            f"(sequential by construction)")
 
     print(json.dumps({
         "metric": "1080p_bob_dh_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / sse2_fps, 2),
+        "order1_dh_fps": round(fps_o1, 1),
         "baseline_sse2_fps": round(sse2_fps, 1),
         "baseline_sse2_live_fps": round(sse2_live_fps, 1),
         "baseline_provenance": provenance,
         "trials_ms": [round(t * 1e3, 3) for t in trials],
+        "order1_trials_ms": [round(t * 1e3, 3) for t in trials_o1],
+        "pool_compat_fps": None if pool_fps is None else round(pool_fps, 1),
         "vpu_utilization_pct": round(util["vpu_utilization"] * 100, 1),
         "trial_spread_pct": round(spread, 1),
         "backend": backend,

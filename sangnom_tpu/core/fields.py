@@ -15,9 +15,34 @@ those host utilities itself, with AviSynth's field semantics:
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sangnom_tpu.core.clip import Clip
+
+
+def _split_plane(p: jnp.ndarray, tff: bool) -> jnp.ndarray:
+    """[N, H, W] -> [2N, H/2, W] field frames in dominance order.
+
+    Written as reshape/transpose (row index 2r+b factors as [r, b]) rather
+    than strided slices + stack: one transpose XLA can fuse with a
+    downstream relayout (the Pallas wrapper's chunk transpose), instead of
+    two gathers and a concatenate."""
+    n, h, w = p.shape
+    rb = p.reshape(n, h // 2, 2, w)
+    if not tff:
+        rb = rb[:, :, ::-1]
+    return rb.transpose(0, 2, 1, 3).reshape(2 * n, h // 2, w)
+
+
+@partial(jax.jit, static_argnames=("tff",))
+def _split_planes_jit(planes, tff: bool):
+    """All planes split in ONE compiled dispatch (per-op eager dispatch
+    latency through the axon tunnel measured ~430 us/frame at 1080p)."""
+    return tuple(_split_plane(p, tff) for p in planes)
 
 
 def separate_fields(clip: Clip, tff: bool | None = None) -> Clip:
@@ -31,17 +56,14 @@ def separate_fields(clip: Clip, tff: bool | None = None) -> Clip:
         raise ValueError("separate_fields: height must be even.")
     tff = clip.tff if tff is None else tff
 
-    def split(p: jnp.ndarray) -> jnp.ndarray:
-        n, h, w = p.shape
-        top = p[:, 0::2]  # [N, h/2, w]
-        bot = p[:, 1::2]
-        first, second = (top, bot) if tff else (bot, top)
-        return jnp.stack([first, second], axis=1).reshape(2 * n, h // 2, w)
-
     n = clip.num_frames
-    parity = jnp.tile(jnp.asarray([tff, not tff]), n)
+    # HOST-side parity metadata: order=0's static split reads it with
+    # np.asarray every call — a device-resident parity array would force a
+    # blocking device->host fetch mid-pipeline (ruinous under the axon
+    # tunnel, and a needless sync anywhere)
+    parity = np.tile(np.array([tff, not tff]), n)
     return Clip(
-        [split(p) for p in clip.planes],
+        list(_split_planes_jit(clip.planes, tff)),
         clip.format,
         parity=parity,
         tff=tff,
@@ -97,11 +119,66 @@ def bob(clip: Clip, aa: int = 48, aac: int = 0, luma: bool = True,
         pool_compat: bool = False, numerics: str = "c") -> Clip:
     """Double-rate deinterlace: SeparateFields -> DoubleWeave ->
     SangNom2(order=0) (the reference's documented double-rate recipe,
-    src/SangNom2.cpp:18-23).  Returns 2N full-height frames."""
-    from sangnom_tpu.api import sangnom2
+    src/SangNom2.cpp:18-23).  Returns 2N full-height frames.
 
+    Fused fast path (round 3): the filter reads ONLY the kept field of
+    each woven frame — and DoubleWeave places field n at exactly frame n's
+    kept-field parity — so ``SangNom2(order=0)`` on the woven clip is
+    value-identical to ``SangNom2(order=0, dh=True)`` on the field frames
+    directly.  The fused form skips materializing the DoubleWeave
+    intermediate and the filter's kept-field re-extraction (two full-frame
+    copies per output frame).  It requires every plane to be processed:
+    with a plane mask off (or an alpha plane, which the filter copies from
+    the woven frame verbatim), the unprocessed planes need the discarded
+    field's data, so those cases — and pool_compat, whose pool state is
+    keyed to the woven frame sequence — keep the explicit pipeline.
+    """
+    from sangnom_tpu.api import SangNomError, _validate, sangnom2
+
+    tff_r = clip.tff if tff is None else tff
+    fused = (luma and chroma and not pool_compat
+             and clip.format.num_planes <= 3 and clip.height % 2 == 0)
+    if fused:
+        # validate against the WOVEN geometry (identical to the explicit
+        # pipeline's: the woven height IS the input height), then run
+        # SeparateFields + the filter as ONE compiled dispatch — the
+        # per-frame parity alternation is a compile-time constant here
+        _validate("SangNom2", clip, 0, aa, aac, opt)
+        if numerics not in ("c", "sse2"):
+            raise SangNomError(
+                f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."
+            )
+        planes = _bob_jit(
+            clip.planes, clip.format, aa, aac, tff_r, opt, numerics
+        )
+        return Clip(
+            list(planes), clip.format,
+            parity=np.tile(np.array([tff_r, not tff_r]), clip.num_frames),
+            tff=tff_r, props={**clip.props, "field_based": True},
+        )
     fields = separate_fields(clip, tff=tff)
     woven = double_weave(fields)
     return sangnom2(woven, order=0, aa=aa, aac=aac, luma=luma,
                     chroma=chroma, opt=opt, pool_compat=pool_compat,
                     numerics=numerics)
+
+
+@partial(jax.jit, static_argnames=("fmt", "aa", "aac", "tff", "opt",
+                                   "numerics"))
+def _bob_jit(planes, fmt, aa: int, aac: int, tff: bool, opt: int,
+             numerics: str):
+    """SeparateFields -> order=0 dh filter in one jit program.  The
+    alternating parity is baked in as a constant, so the per-frame-offset
+    in-kernel weave sees it as plain operand data; the planes stay
+    INTERLACED into the impl (``interlaced_tff``), letting the Pallas
+    weave path absorb the field split into its chunk relayout (a
+    materialized split measured ~11% of true bob at 1080p)."""
+    from sangnom_tpu.ops.sangnom import sangnom2_impl
+
+    n2 = 2 * planes[0].shape[0]
+    parity = jnp.asarray(np.tile(np.array([tff, not tff]), n2 // 2))
+    return sangnom2_impl(
+        tuple(planes), parity, fmt, order=0, aa=aa, aac=aac, dh=True,
+        luma=True, chroma=True, opt=opt, numerics=numerics,
+        interlaced_tff=tff,
+    )

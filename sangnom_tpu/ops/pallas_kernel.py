@@ -267,8 +267,8 @@ def _finalize(v, sm, aaf, spec: KernelSpec) -> jnp.ndarray:
 
 
 def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
-            prev_ref=None, *, spec, w, W_act, W_sm, S_clamp, n_steps, aaf,
-            weave_offset=None):
+            prev_ref=None, off_ref=None, *, spec, w, W_act, W_sm, S_clamp,
+            n_steps, aaf, weave_offset=None):
     t = pl.program_id(0)
     # rows stream in the narrow STORAGE dtype (u8/u16/f32) and widen to the
     # accumulator inside VMEM — 4x less DMA for 8-bit planes
@@ -365,7 +365,18 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
         # The grid runs ONE extra step (t == n_steps) for the tail rows;
         # its finalize result is discarded via the selects below.
         k0_raw = k0_ref[0]  # kept row t, STORAGE dtype (pre-widening)
-        if weave_offset == 0:
+        if weave_offset == "pf":
+            # PER-FRAME offsets, read as data ([g] lanes of off_ref): the
+            # interpolated rows are offset-independent — only the output
+            # row placement differs — so one kernel serves a mixed-parity
+            # batch (true bob's alternation) at two extra lane-broadcast
+            # selects per step.  Both placements below are exactly the
+            # static offset==0 / offset==1 emissions.
+            off0 = off_ref[:, 0:1] == 0  # [g, 1], broadcasts over lanes
+            out_ref[0] = jnp.where(off0 | (t == 0), k0_raw, prev_ref[...])
+            out_ref[1] = jnp.where(off0 & (t < n_steps), res, k0_raw)
+            prev_ref[...] = res
+        elif weave_offset == 0:
             # rows {2t, 2t+1} = (kept[t], interp[t]); tail rows
             # {2n, 2n+1} = (kept[bufH-1], duplicate) — boundary line
             # duplication per reference src/SangNom2.cpp:381-385
@@ -565,16 +576,36 @@ def interpolate_field(kept: jnp.ndarray, aaf, spec: KernelSpec, stride: int):
 
 
 def deinterlace_field_batch_fused(
-    kept: jnp.ndarray, offset: int, aaf, spec: KernelSpec, stride: int
+    kept: jnp.ndarray, offset, aaf, spec: KernelSpec, stride: int,
+    interlaced_tff: bool | None = None,
 ) -> jnp.ndarray:
     """In-kernel weave: [N, bufH, w] kept field -> the COMPLETE deinterlaced
     plane [N, 2*bufH, w], kept/interpolated rows interleaved per ``offset``
     with the boundary line duplicated — no XLA-side interleave pass (which
-    measures ~17% of the headline pipeline).  Static ``offset`` only (the
-    output row layout is baked into the BlockSpec index maps); the traced
-    per-frame-offset path (order=0 mixed parity) keeps the XLA weave.
+    measures ~17% of the headline pipeline).
+
+    ``offset`` is a static int (0/1: the output row layout is baked into
+    the kernel) or a per-frame [N] array — the per-frame form reads the
+    offsets as data inside the kernel (two lane-broadcast selects per
+    step), serving order=0 mixed-parity batches (true bob's deterministic
+    alternation, reference src/SangNom2.cpp:336-341) without the XLA
+    weave, the frame gathers (~4x, rejected round 2), or the strided
+    even/odd split (tied at best, results/altsplit_ab_interleaved.txt).
+
+    ``interlaced_tff`` non-None: ``kept`` is an INTERLACED [N, 2*bufH, w]
+    plane and output frame 2j+b weaves field b of input frame j (the bob
+    pipeline).  The row index 2r+b factors as [r, b], so the field split
+    is absorbed into this wrapper's chunk transpose as one fused relayout
+    — a materialized SeparateFields copy measured ~11% of true bob at
+    1080p.  The bool is the field dominance (True: b=0 is the first/top
+    field).
     """
-    B, bufH, w = kept.shape
+    per_frame_off = not isinstance(offset, int)
+    if interlaced_tff is None:
+        B, bufH, w = kept.shape
+    else:
+        n_in, H, w = kept.shape
+        B, bufH = 2 * n_in, H // 2
     W_act, W_sm, S_clamp = _width_tiers(w, bufH, stride, spec)
     n_chunks = -(-B // _kernel_batch(W_sm, W_act, spec))
     per_chunk = -(-B // n_chunks)
@@ -585,14 +616,39 @@ def deinterlace_field_batch_fused(
     G = (B + pad) // g
     # TWO zero rows below: the weave grid runs one extra step whose pair
     # views reach kept rows bufH and bufH+1
-    kp = jnp.pad(kept, ((0, pad), (0, 2), (0, W_act - w)))
-    kp = jnp.moveaxis(kp.reshape(G, g, bufH + 2, W_act), 2, 1)
+    if interlaced_tff is None:
+        kp = jnp.pad(kept, ((0, pad), (0, 2), (0, W_act - w)))
+        kp = jnp.moveaxis(kp.reshape(G, g, bufH + 2, W_act), 2, 1)
+    else:
+        # B and g are even (B = 2*n_in; g is 8-aligned or == B), so the
+        # frame pad is pad//2 input frames; chunk c's field f is input
+        # frame c*(g//2) + f//2, field bit b = f & 1 (flipped for
+        # bottom-field-first).  FOUR zero rows on the interlaced array =
+        # two zero rows below each field in the [r, b] factorization.
+        kp = jnp.pad(kept, ((0, pad // 2), (0, 4), (0, W_act - w)))
+        kp = kp.reshape(G, g // 2, bufH + 2, 2, W_act)
+        if not interlaced_tff:
+            kp = kp[:, :, :, ::-1]
+        # [G, g//2, bufH+2, 2, W] -> [G, bufH+2, g//2, 2, W] -> merge fields
+        kp = jnp.moveaxis(kp, 2, 1).reshape(G, bufH + 2, g, W_act)
 
     run = functools.partial(
-        _deint_chunk, offset=offset, aaf=aaf, spec=spec, g=g,
-        n_steps=n_steps, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
+        _deint_chunk, offset="pf" if per_frame_off else offset, aaf=aaf,
+        spec=spec, g=g, n_steps=n_steps, w=w, W_act=W_act, W_sm=W_sm,
+        S_clamp=S_clamp,
     )
-    if G == 1:
+    if per_frame_off:
+        # [G, g, 128] i32 lane-broadcast chunks (a (g, 128) block is the
+        # smallest Mosaic-tileable shape; ~60 KiB at g=120, fetched once
+        # per grid step)
+        offp = jnp.pad(jnp.asarray(offset, jnp.int32), (0, pad))
+        offp = jnp.broadcast_to(offp[:, None], (B + pad, 128))
+        offp = offp.reshape(G, g, 128)
+        if G == 1:
+            out = run((kp[0], offp[0]))[None]
+        else:
+            out = jax.lax.map(run, (kp, offp))
+    elif G == 1:
         out = run(kp[0])[None]
     else:
         out = jax.lax.map(run, kp)  # [G, 2*bufH, g, W_act]
@@ -602,12 +658,23 @@ def deinterlace_field_batch_fused(
 
 def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
                  S_clamp):
-    """keptp: [bufH+2, g, W_act] row-major chunk -> [2*bufH, g, W_act]
-    woven output (see deinterlace_field_batch_fused)."""
-    kernel = functools.partial(
+    """keptp: [bufH+2, g, W_act] row-major chunk (or, for offset=="pf", a
+    (chunk, [g, 128] offsets) tuple) -> [2*bufH, g, W_act] woven output
+    (see deinterlace_field_batch_fused)."""
+    per_frame_off = offset == "pf"
+    offp = None
+    if per_frame_off:
+        keptp, offp = keptp
+    body = functools.partial(
         _kernel, spec=spec, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
         n_steps=n_steps, aaf=aaf, weave_offset=offset,
     )
+    if per_frame_off:
+        # reorder: Pallas passes refs as (inputs..., out, scratch...)
+        def kernel(k0, k1, k2, off, out, sm, raw, pair, prev):
+            body(k0, k1, k2, out, sm, raw, pair, prev, off)
+    else:
+        kernel = body
     row_view = lambda o: pl.BlockSpec(  # noqa: E731
         (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
         memory_space=pltpu.VMEM,
@@ -624,12 +691,19 @@ def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
         pltpu.VMEM((n_sm, g, W_sm), spec.acc_dtype),  # raw row b
         pltpu.VMEM((18, g, W_act), spec.acc_dtype),  # pair taps/preds
     ]
-    if offset == 1:
+    if offset == 1 or per_frame_off:
         scratch.append(pltpu.VMEM((g, W_act), keptp.dtype))  # carried interp
+    in_specs = [row_view(0), row_view(1), row_view(2)]
+    operands = [keptp, keptp, keptp]
+    if per_frame_off:
+        in_specs.append(pl.BlockSpec(
+            (g, 128), lambda t: (0, 0), memory_space=pltpu.VMEM
+        ))
+        operands.append(offp)
     return pl.pallas_call(
         kernel,
         grid=(n_steps + 1,),
-        in_specs=[row_view(0), row_view(1), row_view(2)],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -637,7 +711,7 @@ def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=jax.default_backend() != "tpu",
-    )(keptp, keptp, keptp)
+    )(*operands)
 
 
 # consumed by ops.sangnom.deinterlace_plane_batch for static-offset,

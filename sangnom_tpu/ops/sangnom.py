@@ -64,6 +64,7 @@ def deinterlace_plane_batch(
     stride: int,
     interp_fn: Callable,
     plane_width: int | None = None,
+    interlaced_tff: bool | None = None,
 ) -> jnp.ndarray:
     """One plane, all frames: [N, h_src, w] -> [N, h_out, w].
 
@@ -72,8 +73,18 @@ def deinterlace_plane_batch(
     realized as functional gathers + one interleave, batched over frames.
     `offsets` is a static int (orders 1/2) or a per-frame [N] array
     (order 0: parity-dependent, reference src/SangNom2.cpp:338).
+
+    ``interlaced_tff`` non-None (requires dh): ``src`` is an interlaced
+    [N/2, h, w] plane whose per-frame FIELDS are the dh sources (the bob
+    pipeline); the Pallas weave path absorbs the field split into its own
+    chunk relayout, other paths split here.
     """
-    N, h_src, w = src.shape
+    if interlaced_tff is not None:
+        assert dh
+        N = 2 * src.shape[0]
+        h_src, w = src.shape[1] // 2, src.shape[2]
+    else:
+        N, h_src, w = src.shape
     h_out = 2 * h_src if dh else h_src
     bufH = h_out // 2
     static_offset = isinstance(offsets, int)
@@ -84,8 +95,13 @@ def deinterlace_plane_batch(
     elif static_offset:
         kept = src[:, offsets::2]
     else:
-        rows = offsets[:, None] + 2 * jnp.arange(bufH)[None, :]
-        kept = jnp.take_along_axis(src, rows[..., None], axis=1)
+        # per-frame offsets: select between the two strided row views —
+        # a lane-cheap select instead of a row gather (take_along_axis
+        # lowers to per-frame dynamic slices; frame-axis gathers measured
+        # pathological on this TPU, docs/ROADMAP.md)
+        kept = jnp.where(
+            (offsets == 0)[:, None, None], src[:, 0::2], src[:, 1::2]
+        )
 
     # In-kernel weave fast path: the fused Pallas backend can emit the
     # complete interleaved plane (kept rows + interpolated rows + boundary
@@ -99,13 +115,22 @@ def deinterlace_plane_batch(
     fused_weave = getattr(interp_fn, "fused_weave", None)
     if (
         fused_weave is not None
-        and static_offset
         and plane_width is None
         and bufH >= 2
         and not spec.is_float
     ):
+        # Per-frame offsets ride the same kernel with the offsets read as
+        # DATA (round 3): the interpolated rows are offset-independent, so
+        # mixed-parity batches (true bob) keep the in-kernel weave at two
+        # extra selects per step instead of falling back to the XLA weave.
         with stage_scope("interpolate+weave"):
-            return fused_weave(kept, offsets, aaf, spec, stride)
+            return fused_weave(kept, offsets, aaf, spec, stride,
+                               interlaced_tff=interlaced_tff)
+    if interlaced_tff is not None:
+        # non-fused backends take the explicit field split (one transpose)
+        from sangnom_tpu.core.fields import _split_plane
+
+        kept = _split_plane(src, interlaced_tff)
 
     # backends take and return the storage dtype (widening happens inside —
     # on the Pallas path the narrow dtype streams all the way into VMEM);
@@ -170,6 +195,7 @@ def sangnom2_impl(
     plane_widths: tuple | None = None,
     stride: int | None = None,
     numerics: str = "c",
+    interlaced_tff: bool | None = None,
 ):
     """The un-jitted whole-frame-batch transform over raw plane arrays.
 
@@ -202,6 +228,7 @@ def sangnom2_impl(
         return deinterlace_plane_batch(
             p, offsets, dh=dh, aaf=aaf, spec=spec, stride=stride,
             interp_fn=interp_fn, plane_width=pw,
+            interlaced_tff=interlaced_tff,
         )
 
     def width_of(i):
@@ -217,10 +244,13 @@ def sangnom2_impl(
         # one batched kernel invocation (halves chroma dispatches)
         uv = jnp.concatenate([planes[1], planes[2]], axis=0)
         offs2 = offsets if isinstance(offsets, int) else jnp.tile(offsets, 2)
-        n = planes[1].shape[0]
+        # output frame count per plane: doubled when src is interlaced
+        # field-pair frames (the bob pipeline)
+        n = planes[1].shape[0] * (1 if interlaced_tff is None else 2)
         res = deinterlace_plane_batch(
             uv, offs2, dh=dh, aaf=aaf_as_pixel(aafs[1], fmt), spec=spec,
             stride=stride, interp_fn=interp_fn, plane_width=width_of(1),
+            interlaced_tff=interlaced_tff,
         )
         out[1], out[2] = res[:n], res[n:]
 
@@ -286,8 +316,20 @@ def sangnom2_op(
     ``numerics="sse2"`` selects the reference's SSE2 numeric contract
     (composable with ``pool_compat`` — together they reproduce a live
     reference build running its vectorized path)."""
-    parity = clip.parity_array() if order == 0 else jnp.zeros((clip.num_frames,), jnp.bool_)
+    if order == 0:
+        # HOST-side parity resolution (AviSynth's GetParity is a host call
+        # too).  Creating a device parity array here and fetching it back
+        # in the static split measured ~230 us/frame of blocking tunnel
+        # round-trip at 1080p B=120 — the parity must stay host-side;
+        # clips whose parity lives on device (or is a tracer) fall through
+        # to the traced path.
+        parity = _host_parity(clip)
+    else:
+        parity = jnp.zeros((clip.num_frames,), jnp.bool_)
     if pool_compat:
+        if order == 0:
+            parity = (clip.parity_array() if parity is None
+                      else jnp.asarray(parity))
         planes = _sangnom2_pool_jit(
             clip.planes, parity, clip.format, order, aa, aac, dh, luma,
             chroma, numerics,
@@ -302,6 +344,19 @@ def sangnom2_op(
             chroma, opt, numerics,
         )
     return clip.with_planes(planes)
+
+
+def _host_parity(clip: Clip):
+    """Per-frame parity as a host numpy array, or None if it is a tracer /
+    non-addressable device value (then the caller keeps the traced path).
+    Never triggers a device computation; a concrete device-resident parity
+    is fetched once (tiny), which Clip constructors avoid creating."""
+    if clip.parity is None:
+        return np.full((clip.num_frames,), clip.tff, dtype=bool)
+    try:
+        return np.asarray(clip.parity).astype(bool)
+    except Exception:
+        return None
 
 
 def sangnom2_pool_stream(
@@ -367,15 +422,15 @@ def _order0_static_split(clip, parity, aa, aac, dh, luma, chroma, opt,
     therefore bob — does NOT get the in-kernel weave.
     """
     fmt = clip.format
-    try:
-        offs = np.where(np.asarray(parity), 0, 1)
-    except Exception:
-        # parity is a tracer (op invoked under an outer jit): keep the
-        # traced-offset path, which handles per-frame offsets in-graph
+    if parity is None:
+        # parity is a tracer / device value (op invoked under an outer
+        # jit): keep the traced-offset path, which handles per-frame
+        # offsets in-graph
         return _sangnom2_jit(
-            clip.planes, parity, fmt, 0, aa, aac, dh, luma, chroma, opt,
-            numerics,
+            clip.planes, clip.parity_array(), fmt, 0, aa, aac, dh, luma,
+            chroma, opt, numerics,
         )
+    offs = np.where(parity, 0, 1)
 
     def run(planes, order_s):
         par = jnp.zeros((planes[0].shape[0],), jnp.bool_)
@@ -387,12 +442,15 @@ def _order0_static_split(clip, parity, aa, aac, dh, luma, chroma, opt,
     if (offs == offs[0]).all():
         return run(clip.planes, 1 if offs[0] == 0 else 2)
 
-    # Mixed parity keeps the traced-offset path.  A gather/scatter split
-    # into two static-offset groups was built and measured on TPU (round
-    # 2): frame-axis gathers are pathological there (~4x SLOWER end to end,
-    # 59 ms vs 14.4 ms at 64x1080p, whether eager or inside one jit), so
-    # the traced path's ~10% double-weave overhead is the better trade.
+    # Mixed parity: per-frame offsets ride the traced path — the HOST
+    # numpy parity uploads with the arguments (no device round trip), and
+    # the Pallas backend's per-frame-offset in-kernel weave (round 3)
+    # consumes the offsets as data.  A gather/scatter split into two
+    # static-offset groups was built and measured on TPU (round 2):
+    # frame-axis gathers are pathological there (~4x SLOWER end to end),
+    # and the strided even/odd split tied at best
+    # (results/altsplit_ab_interleaved.txt).
     return _sangnom2_jit(
-        clip.planes, parity, fmt, 0, aa, aac, dh, luma, chroma, opt,
-        numerics,
+        clip.planes, jnp.asarray(parity), fmt, 0, aa, aac, dh, luma,
+        chroma, opt, numerics,
     )

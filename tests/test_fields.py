@@ -84,6 +84,38 @@ def test_bob_keeps_source_fields(rng):
     np.testing.assert_array_equal(out[1][1::2], src[1::2])  # frame 1 keeps bottom
 
 
+@pytest.mark.parametrize("opt", [0, 1])
+def test_bob_fused_equals_explicit_pipeline(rng, opt):
+    """The fused bob fast path (dh=True on field frames, skipping
+    DoubleWeave) must be bit-identical to the explicit
+    SeparateFields -> DoubleWeave -> SangNom2(order=0) pipeline on every
+    backend."""
+    clip, _ = _clip(rng, "YUV420P8", w=48, h=24, n=3, tff=True)
+    fused = bob(clip, opt=opt)
+    explicit = sangnom2(double_weave(separate_fields(clip)), order=0, opt=opt)
+    assert fused.num_frames == explicit.num_frames
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(fused.planes[i]), np.asarray(explicit.planes[i]),
+            err_msg=f"plane {i}",
+        )
+
+
+def test_bob_plane_mask_falls_back_to_explicit(rng):
+    """With a plane mask off, the unprocessed planes must carry the WOVEN
+    frame's data (both fields) — only the explicit pipeline has it."""
+    clip, _ = _clip(rng, "YUV420P8", w=32, h=16, n=2, tff=True)
+    masked = bob(clip, chroma=False, opt=0)
+    explicit = sangnom2(
+        double_weave(separate_fields(clip)), order=0, chroma=False, opt=0
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(masked.planes[i]), np.asarray(explicit.planes[i]),
+            err_msg=f"plane {i}",
+        )
+
+
 def test_separate_fields_odd_height_rejected(rng):
     fmt = get_format("GRAY8")
     clip = Clip.from_numpy([np.zeros((1, 15, 16), np.uint8)], fmt)

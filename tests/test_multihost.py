@@ -8,14 +8,23 @@ asserts both workers complete with their CASE markers.
 """
 
 import os
+import socket
 import subprocess
 import sys
 
 N_PROC = 2
 
 
+def _free_port() -> int:
+    """Reserve a genuinely free port via an OS-assigned ephemeral bind
+    (a pid-derived constant can collide with any listener in the range)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_multihost_two_processes():
-    port = 29000 + os.getpid() % 1000
+    port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker pins cpu via jax.config

@@ -56,6 +56,21 @@ def test_pallas_order0_mixed_parity(rng):
     _run("GRAY8", 32, 16, rng, n=4, order=0, parity=parity)
 
 
+def test_pallas_order0_mixed_parity_dh(rng):
+    """True-bob shape: dh height doubling with alternating per-frame parity
+    — the per-frame-offset in-kernel weave (round 3) against the jnp
+    reference, including subsampled chroma."""
+    parity = np.array([True, False, True, False, True])
+    _run("YUV420P8", 48, 16, rng, n=5, order=0, dh=True, parity=parity)
+
+
+def test_pallas_order0_nonuniform_groups(rng):
+    """Non-alternating mixed parity (arbitrary pattern) through the
+    per-frame-offset weave."""
+    parity = np.array([False, False, True, False])
+    _run("GRAY8", 40, 12, rng, n=4, order=0, dh=True, parity=parity)
+
+
 def test_pallas_aa_zero(rng):
     _run("GRAY8", 32, 16, rng, aa=0, aac=0)
 

@@ -1,0 +1,158 @@
+"""VPU op-rate calibration for the cost model (VERDICT_r2 "Next round" #3).
+
+Measures the ACHIEVED per-op issue rate on this chip for each vector-op
+class the fused kernel (sangnom_tpu/ops/pallas_kernel.py) is built from —
+add, lane-rotate (pltpu.roll), compare+select, shift+mask, minimum, and a
+kernel-shaped blend — at the kernel's own operating shape ([g, W] i32
+slabs inside a sequential Pallas grid with persistent VMEM scratch).
+
+Methodology: each arm times the SAME kernel at two unrolled chain lengths
+K1 < K2 and reports the DIFFERENTIAL rate
+
+    rate = (K2 - K1) * steps * g * W / (t(K2) - t(K1))
+
+which cancels the per-step fixed costs (grid bookkeeping, input/output
+DMA, scratch load/store), leaving the pure issue throughput of that op
+class.  Chains are data-dependent (each op consumes the previous result),
+so the measured rate is the LATENCY-BOUND serial issue rate — the same
+regime the real kernel's dependent stages run in, and the correct
+denominator for "fraction of achievable" (the nominal 4-ALU peak assumes
+4 independent chains).
+
+Usage:  python tools/calibrate_vpu.py [reps]
+Writes one human-readable block; capture to results/.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G, W = 120, 2048  # the u8 1080p luma kernel's slab shape
+STEPS = 512       # ~ the 539-step 1080p grid
+
+
+def _chain(kind: str, x, y, k: int):
+    """k data-dependent ops of the given class; returns the chain tail.
+
+    Every arm is written as a two-register recurrence (Fibonacci-style
+    swap) so NO prefix of the chain is constant-foldable: a first attempt
+    with one-register chains (``x = x + y`` repeated) measured 694% of
+    nominal peak — XLA/Mosaic strength-reduced it to ``x + K*y``."""
+    for _ in range(k):
+        if kind == "add":
+            x, y = x + y, x                       # 1 op
+        elif kind == "roll":
+            x, y = pltpu.roll(x, 1, axis=x.ndim - 1) , x  # 1 op
+        elif kind == "where":
+            # compare+select, the finalize stage's building block —
+            # 2 cost-model ops
+            x, y = jnp.where(x > y, y, x), x
+        elif kind == "shift_and":
+            # writeback/calc building block: shift + mask + add = 3 ops
+            x, y = ((x >> 1) & 0x00FF00FF) + y, x
+        elif kind == "min":
+            x, y = jnp.minimum(x, y), x           # 1 op
+        elif kind == "mul":
+            x = x * x                             # 1 op, non-foldable
+        elif kind == "mix":
+            # the kernel's approximate blend per cost-model weights:
+            # hbox-ish rot+add, finalize-ish cmp+sel, writeback-ish
+            # shift/and, predictor-ish add (7 cost-model ops/iter)
+            r = pltpu.roll(x, 1, axis=x.ndim - 1)
+            x, y = jnp.where(x > y, (x + r) >> 1, (r & 0x00FF00FF) + y), x
+        else:
+            raise ValueError(kind)
+    return x + y
+
+
+# cost-model ops per chain iteration (utils/cost_model.py accounting:
+# where = cmp+sel = 2, shift_and = 3, mix = roll+cmp+add+shift+and+add+sel
+# = 7, others = 1)
+OPS_PER_ITER = {"add": 1, "roll": 1, "where": 2, "shift_and": 3, "min": 1,
+                "mul": 1, "mix": 7}
+
+
+def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        x_ref[...] = in_ref[...].astype(jnp.int32)
+        y_ref[...] = in_ref[...].astype(jnp.int32) ^ 0x55AA55
+
+    x = _chain(kind, x_ref[...], y_ref[...], k)
+    x_ref[...] = x
+    out_ref[0] = x[:, :128]
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "k"))
+def _run(src, kind: str, k: int):
+    kern = functools.partial(_kernel, kind=kind, k=k)
+    return pl.pallas_call(
+        kern,
+        grid=(STEPS,),
+        in_specs=[pl.BlockSpec((G, W), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, G, 128), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((STEPS, G, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((G, W), jnp.int32),
+                        pltpu.VMEM((G, W), jnp.int32)],
+        interpret=jax.default_backend() != "tpu",
+    )(src)
+
+
+def _time(src, kind, k, iters=3):
+    out = _run(src, kind, k)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        # checksum-forced completion (block_until_ready unreliable on axon)
+        s = float(jnp.sum(_run(src, kind, k)[:, :, :1].astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+        del s
+    return best
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(0, 255, (G, W)), jnp.int32)
+
+    K1, K2 = 32, 96
+    nominal = 8 * 128 * 4 * 0.94e9
+    print(f"slab [{G}, {W}] i32, {STEPS} steps, differential K={K1}->{K2}; "
+          f"nominal v5e VPU peak {nominal/1e12:.2f} Tops/s", flush=True)
+    results = {}
+    for kind in ("add", "mul", "min", "roll", "shift_and", "where", "mix"):
+        best_rate = 0.0
+        for _ in range(reps):
+            t1 = _time(src, kind, K1)
+            t2 = _time(src, kind, K2)
+            if t2 <= t1:
+                continue
+            elems = (K2 - K1) * OPS_PER_ITER[kind] * STEPS * G * W
+            best_rate = max(best_rate, elems / (t2 - t1))
+        results[kind] = best_rate
+        print(f"  {kind:10s}: {best_rate/1e12:6.2f} Tops/s "
+              f"({best_rate/nominal*100:5.1f}% of nominal peak)", flush=True)
+
+    mix = results["mix"]
+    print(f"\nkernel-blend achievable ('mix'): {mix/1e12:.2f} Tops/s = "
+          f"{mix/nominal*100:.0f}% of nominal; the cost model's "
+          f"'fraction of achievable' divides by this.", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,25 @@ for k, (fname, w, h, n, kw) in enumerate(CAMPAIGN):
                                   np.asarray(want_clip.planes[i])):
                 case_fails += 1
                 print(f"MISMATCH {fname} {w}x{h} {kw} plane {i}", flush=True)
+        # oracle anchor where the oracle supports the case's compat axes
+        # (pool_compat: yes; numerics=sse2: no — that contract's ground
+        # truth is the in-place-compiled reference SSE2 itself,
+        # tests/test_sse2_numerics.py).  Guards against a bug in a stage
+        # SHARED by both backends passing the cross-check silently.
+        if kw.get("numerics", "c") == "c":
+            from sangnom_tpu.oracle import sangnom2_clip_oracle
+
+            okw = {k: v for k, v in kw.items() if k != "numerics"}
+            frames = [[p[f] for p in planes] for f in range(n)]
+            pars = [bool(clip.get_parity(f)) for f in range(n)]
+            want_o = sangnom2_clip_oracle(frames, fmt, parities=pars, **okw)
+            for f in {0, n - 1}:
+                for i in range(fmt.num_planes):
+                    if not np.array_equal(np.asarray(got.planes[i])[f],
+                                          want_o[f][i]):
+                        case_fails += 1
+                        print(f"ORACLE MISMATCH {fname} {w}x{h} {kw} "
+                              f"frame {f} plane {i}", flush=True)
     else:
         # check first and last frame against the native oracle
         for fr in {0, n - 1}:
