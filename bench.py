@@ -265,11 +265,15 @@ def main() -> None:
         f"trial spread {spread:.0f}% — the chip is pool-contended)")
 
     # --- analytic VPU roofline ---------------------------------------------
-    util = vpu_utilization(fps, fmt, 1920, 540, dh=True)
+    util = vpu_utilization(fps_o1, fmt, 1920, 540, dh=True)
     log(f"roofline: {util['ops_per_frame']/1e6:.0f}M vector ops/frame -> "
         f"{util['achieved_ops_per_s']/1e12:.2f} Tops/s = "
         f"{util['vpu_utilization']*100:.0f}% of nominal v5e VPU peak "
-        f"({util['vpu_peak_ops_per_s']/1e12:.2f} Tops/s)")
+        f"({util['vpu_peak_ops_per_s']/1e12:.2f} Tops/s), "
+        f"{util['vs_measured_achievable']*100:.0f}% of measured-achievable "
+        f"for the kernel op blend "
+        f"({util['measured_achievable_ops_per_s']/1e12:.2f} Tops/s, "
+        f"tools/calibrate_vpu.py)")
 
     # --- measured baseline: the reference's own SSE2 path, single core -----
     sse2_fps, provenance, sse2_live_fps = measure_sse2_baseline()
@@ -313,6 +317,8 @@ def main() -> None:
         "order1_trials_ms": [round(t * 1e3, 3) for t in trials_o1],
         "pool_compat_fps": None if pool_fps is None else round(pool_fps, 1),
         "vpu_utilization_pct": round(util["vpu_utilization"] * 100, 1),
+        "vpu_vs_measured_achievable_pct": round(
+            util["vs_measured_achievable"] * 100, 1),
         "trial_spread_pct": round(spread, 1),
         "backend": backend,
         "batch": B,

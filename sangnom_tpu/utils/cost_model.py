@@ -58,6 +58,56 @@ OPS_PER_COL_ACT_PACK_EXTRA = 16
 # v5e: (8,128) vreg x 4 ALUs x 0.94 GHz
 VPU_PEAK_OPS = {"v5e": 8 * 128 * 4 * 0.94e9}
 
+# MEASURED per-op-class issue rates on this v5e (tools/calibrate_vpu.py,
+# 2026-08-17: differential K=32->96 unrolled data-dependent chains on
+# [120, 2048] i32 slabs inside a 512-step Pallas grid, best of 4;
+# results/vpu_calibration_r03.txt).  element-ops/s.  Key findings:
+#   * lane rotates (pltpu.roll) are the expensive class: 0.53e12 = ~13x
+#     the cost of an add slot — the hbox tree + tap rolls are ~half of
+#     kernel time, not the flat "1 op" the table above assumes;
+#   * compare+select (`where`) and min/shift/mask are cheap-to-moderate;
+#   * simple int ALU ops sustain ABOVE the book-nominal 4-ALU peak
+#     (6.75e12 > 3.85e12), so the nominal peak under-states ALU issue
+#     width and over-states achievable rate for roll-heavy blends.
+# "mix" is a kernel-shaped blend (roll+cmp+add+shift+and+add+sel): the
+# measured-achievable denominator for this kernel's op soup.
+MEASURED_OP_RATES = {  # element-ops/s; ops accounted per cost-model units
+    "add": 6.75e12,
+    "mul": 3.95e12,
+    "min": 1.96e12,
+    "roll": 0.53e12,
+    "shift_and": 2.81e12,
+    "where": 4.24e12,
+    "mix": 2.82e12,
+}
+
+# Per-grid-step op-class counts for the PACKED u8 C-numerics kernel at
+# W_act == W_sm == W (the 1080p luma case), in [g, W]-slab units —
+# derived from ops/pallas_kernel._kernel:
+#   rolls: 6 tap rolls (pair-carry: only the new row) + 4 hbox-tree rolls
+#          x 5 packed slabs = 26 (plus 12 on 1/16-width edge slabs)
+#   adds:  2 calc add/sub x2 + avg 2 + vertical 2x5 + hbox 4x5 + abs 9 sub
+#   etc.  Used to PREDICT step time from MEASURED_OP_RATES; the predicted
+#   vs measured step time is the calibration check (explains ~85% of the
+#   measured 1080p step, results/vpu_calibration_r03.txt).
+STEP_OP_CLASSES_PACKED_U8 = {
+    "roll": 26 + 12 / 16,
+    "add": 9 + 4 + 2 + 10 + 20,     # abs-subs, calc, avg, vertical, hbox
+    "mul": 4,                        # 2 calc x 2 muls
+    "min": 8 + 1,                    # finalize min tree + abs via min-ish
+    "shift_and": 20,                 # calc/writeback/pack/unpack shifts+masks
+    "where": 6 + 5 + 15 + 2 + 2,     # tap clamps, pad masks, finalize sel
+}
+
+
+def predicted_step_time_s(g: int, W: int) -> float:
+    """Measured-rate prediction of one packed-u8 grid step's VPU time."""
+    elems = g * W
+    return sum(
+        n * elems / MEASURED_OP_RATES[k]
+        for k, n in STEP_OP_CLASSES_PACKED_U8.items()
+    )
+
 
 def kernel_ops_per_frame(fmt: VideoFormat, width: int, height: int,
                          dh: bool, luma: bool = True,
@@ -90,13 +140,18 @@ def kernel_ops_per_frame(fmt: VideoFormat, width: int, height: int,
 
 def vpu_utilization(fps: float, fmt: VideoFormat, width: int, height: int,
                     dh: bool, chip: str = "v5e") -> dict:
-    """Achieved op/s and fraction of nominal VPU peak at the measured fps."""
+    """Achieved op/s against the nominal VPU peak AND the measured
+    achievable rate for this kernel's op blend (the 'mix' arm of
+    tools/calibrate_vpu.py) at the measured fps."""
     ops = kernel_ops_per_frame(fmt, width, height, dh)
     peak = VPU_PEAK_OPS[chip]
+    achievable = MEASURED_OP_RATES["mix"]
     achieved = ops * fps
     return {
         "ops_per_frame": ops,
         "achieved_ops_per_s": achieved,
         "vpu_peak_ops_per_s": peak,
         "vpu_utilization": achieved / peak,
+        "measured_achievable_ops_per_s": achievable,
+        "vs_measured_achievable": achieved / achievable,
     }
