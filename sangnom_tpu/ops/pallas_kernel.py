@@ -394,6 +394,10 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
 
 
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+# k1 (the second kept row) is read at t==0 only; a CONSTANT BlockSpec
+# index map lets the Pallas pipeline skip its re-fetch on every later
+# step (the moving-index form re-DMAs one row block per step).  A/B hook.
+_K1_CONST = True
 # Chunk-cap A/B hook (frames per kernel invocation; budget still binds).
 # 256 lets the narrow chroma planes run the fused-UV batch as ONE chunk
 # (240 frames at the B=120 headline): +4.2% interleaved A/B vs 128,
@@ -545,6 +549,11 @@ def _interp_chunk(keptp, *, aaf, spec, g, n_steps, w, W_act, W_sm, S_clamp):
         (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    k1_view = (
+        pl.BlockSpec((1, g, W_act), lambda t: (1, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if _K1_CONST else row_view(1)
+    )
     out_spec = pl.BlockSpec(
         (1, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
     )
@@ -552,7 +561,7 @@ def _interp_chunk(keptp, *, aaf, spec, g, n_steps, w, W_act, W_sm, S_clamp):
     return pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[row_view(0), row_view(1), row_view(2)],
+        in_specs=[row_view(0), k1_view, row_view(2)],
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[
@@ -679,6 +688,11 @@ def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
         (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    k1_view = (
+        pl.BlockSpec((1, g, W_act), lambda t: (1, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if _K1_CONST else row_view(1)
+    )
     out_spec = pl.BlockSpec(
         (2, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
     )
@@ -693,7 +707,7 @@ def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
     ]
     if offset == 1 or per_frame_off:
         scratch.append(pltpu.VMEM((g, W_act), keptp.dtype))  # carried interp
-    in_specs = [row_view(0), row_view(1), row_view(2)]
+    in_specs = [row_view(0), k1_view, row_view(2)]
     operands = [keptp, keptp, keptp]
     if per_frame_off:
         in_specs.append(pl.BlockSpec(

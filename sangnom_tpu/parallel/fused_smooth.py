@@ -38,11 +38,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sangnom_tpu.ops.pallas_kernel import (
+    _finalize,
     _pack_maps,
     _packed_smoothing,
+    _rot,
     _unpack_sm,
 )
-from sangnom_tpu.ops.primitives import KernelSpec, smooth_writeback
+from sangnom_tpu.ops.primitives import (
+    KernelSpec,
+    abs_diff,
+    calc_sangnom,
+    smooth_writeback,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -204,3 +211,236 @@ def smooth_sharded_chunked(
     if packed:
         sm = jnp.stack(_unpack_sm(sm.swapaxes(0, 1))).swapaxes(0, 1)
     return sm
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused sharded path (round 3): prepare + smoothing + finalize in ONE
+# Pallas kernel per chunk — a width shard no longer runs XLA glue around a
+# smoothing-only kernel (VERDICT_r2 "Next round" #4).
+# ---------------------------------------------------------------------------
+
+
+def _taps7_roll(a: jnp.ndarray) -> list[jnp.ndarray]:
+    """Taps as PURE circular rolls — no clamp selects: the halo-extended
+    array already carries real neighbor columns, edge-REPLICATED at the
+    global boundaries by the kept exchange (loadPixel's clamp, reference
+    src/SangNom2.cpp:25-34), and wrap contamination at the array ends lies
+    outside the influence cone."""
+    return [_rot(a, k) for k in range(-3, 4)]
+
+
+def _pair_values_halo(c, n, spec: KernelSpec) -> list[jnp.ndarray]:
+    """ops.pallas_kernel._pair_values with the halo tap source (same value
+    layout: 14 taps + fwd1/fwd2/bwd1/bwd2)."""
+    ct = _taps7_roll(c)
+    nt = _taps7_roll(n)
+    fwd1 = calc_sangnom(ct[2], ct[3], ct[4], spec)
+    fwd2 = calc_sangnom(nt[4], nt[3], nt[2], spec)
+    bwd1 = calc_sangnom(ct[4], ct[3], ct[2], spec)
+    bwd2 = calc_sangnom(nt[2], nt[3], nt[4], spec)
+    return ct + nt + [fwd1, fwd2, bwd1, bwd2]
+
+
+def _full_kernel(meta_ref, sm0_ref, k0_ref, k1_ref, k2_ref, out_ref,
+                 smout_ref, sm_ref, raw_ref, pair_ref, *, spec, w_glob,
+                 W_loc, HALO, n_steps, aaf, packed):
+    """One fused chunk: grid step t computes buffer row b = base + t + 1 —
+    pair values + raw maps (prepare), the smoothing recursion row, and the
+    finalize select — entirely in VMEM on the halo-extended width.
+
+    meta_ref (SMEM, [4] i32): [is_leftmost, is_rightmost, gcol0 (global
+    column of array column 0), base (global step of chunk-local t=0)].
+    Mirrors ops.pallas_kernel._kernel (pair-carry reuse, packed u8
+    smoothing) with three sharding deltas: taps need no clamp selects
+    (halo + global edge replication supply them), the raw zero-mask
+    compares GLOBAL columns against the plane width, and the vertical-sum
+    line is re-replicated at the GLOBAL edges each step (the hbox clamp at
+    0/S, exactly `_smooth_kernel`'s fixup)."""
+    t = pl.program_id(0)
+    acc = spec.acc_dtype
+    left = meta_ref[0] != 0
+    right = meta_ref[1] != 0
+    gcol0 = meta_ref[2]
+    base = meta_ref[3]
+    k2 = k2_ref[0].astype(acc)
+
+    def raw_of(v):
+        (cm3, cm2, cm1, c0, cp1, cp2, cp3,
+         nm3, nm2, nm1, n0, np1, np2, np3,
+         fwd1, fwd2, bwd1, bwd2) = v
+        maps = jnp.stack([
+            abs_diff(cm3, np3), abs_diff(cm2, np2), abs_diff(cm1, np1),
+            abs_diff(fwd1, fwd2), abs_diff(c0, n0), abs_diff(bwd1, bwd2),
+            abs_diff(cp1, nm1), abs_diff(cp2, nm2), abs_diff(cp3, nm3),
+        ])
+        # zero-defined padding beyond the GLOBAL plane width (SURVEY.md §2
+        # quirk 2); halo columns carry the neighbor's real global position
+        gcol = gcol0 + jax.lax.broadcasted_iota(
+            jnp.int32, maps.shape, maps.ndim - 1
+        )
+        maps = jnp.where(gcol < w_glob, maps, jnp.zeros((), maps.dtype))
+        return _pack_maps(maps) if packed else maps
+
+    @pl.when(t == 0)
+    def _():
+        v01 = _pair_values_halo(k0_ref[0].astype(acc), k1_ref[0].astype(acc),
+                                spec)
+        pair_ref[...] = jnp.stack(v01)
+        raw_ref[...] = raw_of(v01)
+        sm_ref[...] = sm0_ref[...]  # carried from the previous chunk
+
+    pv = [pair_ref[i] for i in range(18)]
+    # pair-carry reuse (see ops.pallas_kernel._kernel): only row b+1's taps
+    # and two predictors are new work
+    nt = _taps7_roll(k2)
+    v12 = pv[7:14] + nt + [
+        pv[17], calc_sangnom(nt[4], nt[3], nt[2], spec),
+        pv[15], calc_sangnom(nt[2], nt[3], nt[4], spec),
+    ]
+    raw_next = raw_of(v12)
+    raw_next = jnp.where(base + t < n_steps - 1, raw_next,
+                         jnp.zeros((), raw_next.dtype))
+
+    line = sm_ref[...] + raw_ref[...] + raw_next
+    # hbox clamp at the global 0/S edges: replicate the line's edge value
+    # through the halo on the boundary shards (interior shards' halos hold
+    # real neighbor data; the recursion re-fixes these columns every step)
+    col = jax.lax.broadcasted_iota(jnp.int32, line.shape, line.ndim - 1)
+    line = jnp.where(left & (col < HALO), line[..., HALO : HALO + 1], line)
+    line = jnp.where(right & (col >= HALO + W_loc),
+                     line[..., HALO + W_loc - 1 : HALO + W_loc], line)
+    if spec.is_float:
+        # left-to-right association (the reference's C expression order)
+        taps = _taps7_roll(line)
+        h = taps[0]
+        for tp in taps[1:3] + [line] + taps[4:]:
+            h = h + tp
+    else:
+        a = _rot(line, -1) + line + _rot(line, 1)
+        h = _rot(a, -2) + line + _rot(a, 2)
+    if packed:
+        sm = jnp.right_shift(h, 4) & 0x00FF00FF
+    else:
+        sm = smooth_writeback(h, spec)
+    sm_ref[...] = sm
+    smout_ref[...] = sm  # constant index map: the last step's row survives
+
+    sm9 = _unpack_sm(sm) if packed else [sm[i] for i in range(9)]
+    out_ref[0] = _finalize(pv, sm9, aaf, spec).astype(out_ref.dtype)
+    raw_ref[...] = raw_next
+    pair_ref[...] = jnp.stack(v12)
+
+
+def interpolate_fused_full(
+    kept: jnp.ndarray, aaf, spec: KernelSpec, axis_name: str,
+    plane_width: int | None = None, chunk_rows: int = 16,
+) -> jnp.ndarray:
+    """Fully-fused width-sharded interpolation: [N, bufH, W_loc] shard-local
+    kept field (STORAGE dtype) -> [N, bufH-1, W_loc], same contract as
+    `interpolate_field_width_sharded`; must run inside shard_map.
+
+    Communication per plane: ONE kept-field halo exchange in the narrow
+    storage dtype (4x less ICI than the widened exchange for 8-bit), then
+    one (3R+6)-column carry-row ppermute per R rows.  Everything else —
+    taps, predictors, error maps, the recursive smoothing, the priority
+    select — runs in one Pallas kernel per chunk with the same VMEM
+    carries as the single-chip kernel (pair-carry reuse, packed u8
+    smoothing), so a width shard's compute path matches the single-chip
+    fused kernel instead of per-row XLA glue.
+    """
+    from sangnom_tpu.parallel.width_sharded import _exchange_halo
+
+    out_dtype = kept.dtype
+    N, bufH, W_loc = kept.shape
+    n_steps = bufH - 1
+    if n_steps <= 0:
+        return jnp.zeros((N, 0, W_loc), out_dtype)
+    w_glob = plane_width
+    if w_glob is None:
+        w_glob = W_loc * jax.lax.psum(1, axis_name)  # unsharded width
+        # (sharded callers always pass plane_width; this keeps the
+        # single-shard fallback well-defined)
+    packed = _packed_smoothing(spec)
+    n_sm = 5 if packed else 9
+
+    # halo: 3 cols/row of recursion creep over R rows + 3 hbox taps
+    # + 3 pixel taps (raw maps computed in-kernel from kept); the exchange
+    # reaches only the adjacent shard, so HALO = 3R+6 <= W_loc (the caller
+    # falls back to the chunked-smoothing path for W_loc < 9)
+    R = max(1, min(chunk_rows, n_steps, (W_loc - 6) // 3))
+    HALO = 3 * R + 6
+    W_ext = max(_round_up(W_loc + 2 * HALO, 128), 128)
+    pad_r = W_ext - W_loc - 2 * HALO
+
+    # one whole-field exchange in the storage dtype; right slack is
+    # edge-replicated (outside the cone; keeps the rightmost shard's
+    # replication consistent)
+    keptx = _exchange_halo(kept, HALO, axis_name)
+    keptx = jnp.pad(keptx, ((0, 0), (0, 0), (0, pad_r)), mode="edge")
+    n_chunks = -(-n_steps // R)
+    keptx = jnp.pad(keptx, ((0, 0), (0, n_chunks * R + 2 - bufH), (0, 0)))
+    rows = jnp.moveaxis(keptx, 1, 0)  # [rows, N, W_ext]
+    chunks = jnp.stack(
+        [rows[c * R : c * R + R + 2] for c in range(n_chunks)]
+    )  # [n_chunks, R+2, N, W_ext] (2 rows of overlap re-read per chunk)
+
+    idx = jax.lax.axis_index(axis_name)
+    n_sh = jax.lax.axis_size(axis_name)
+    meta_base = jnp.stack([
+        (idx == 0).astype(jnp.int32),
+        (idx == n_sh - 1).astype(jnp.int32),
+        (idx * W_loc - HALO).astype(jnp.int32),
+    ])
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * R
+
+    kernel = functools.partial(
+        _full_kernel, spec=spec, w_glob=w_glob, W_loc=W_loc, HALO=HALO,
+        n_steps=n_steps, aaf=aaf, packed=packed,
+    )
+    row_view = lambda o: pl.BlockSpec(  # noqa: E731
+        (1, N, W_ext), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_sm, N, W_ext), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_view(0), row_view(1), row_view(2),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, W_ext), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sm, N, W_ext), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, N, W_ext), out_dtype),
+            jax.ShapeDtypeStruct((n_sm, N, W_ext), spec.acc_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_sm, N, W_ext), spec.acc_dtype),  # sm row b-1
+            pltpu.VMEM((n_sm, N, W_ext), spec.acc_dtype),  # raw row b
+            pltpu.VMEM((18, N, W_ext), spec.acc_dtype),    # pair carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def chunk_step(sm_loc, xs):
+        chunk, b = xs
+        # ONE collective per R rows: the carry row's halo
+        smx = _exchange_halo(sm_loc, HALO, axis_name)
+        smx = jnp.pad(smx, ((0, 0), (0, 0), (0, pad_r)), mode="edge")
+        meta = jnp.concatenate([meta_base, b[None]])
+        res, smo = call(meta, smx, chunk, chunk, chunk)
+        return smo[:, :, HALO : HALO + W_loc], res
+
+    sm0 = jnp.zeros((n_sm, N, W_loc), spec.acc_dtype)
+    _, res = jax.lax.scan(chunk_step, sm0, (chunks, bases))
+    res = res.reshape(n_chunks * R, N, W_ext)
+    res = res[:n_steps, :, HALO : HALO + W_loc]
+    return jnp.moveaxis(res, 0, 1).astype(out_dtype)

@@ -72,12 +72,15 @@ def sangnom2_sharded(
     opt: int = -1,
     data_axis: str = "data",
     space_axis: Optional[str] = None,
+    smooth: Optional[str] = None,
 ) -> Clip:
     """SangNom2 over a device mesh.
 
     Frames shard over ``data_axis`` (padded to divide evenly, then trimmed).
     If ``space_axis`` is given, plane widths additionally shard over it and
     the smoothing recursion exchanges 3-column halos per row via ppermute.
+    ``smooth`` overrides the opt-derived sharded backend ("scan" |
+    "chunked" | "fused"; see width_sharded.interpolate_field_width_sharded).
     """
     from sangnom_tpu.api import _validate  # parameter surface parity
     from sangnom_tpu.core.geometry import buffer_stride_elems
@@ -113,16 +116,19 @@ def sangnom2_sharded(
 
     if space_axis:
         # opt=0 keeps the per-row-exchange scan (the parity target); opt=1
-        # forces the chunked-Pallas smoothing — the multi-chip performance
-        # path (bit-exact to the scan, tests/test_sharding.py); auto mirrors
-        # _pick_backend: fused where Pallas compiles (TPU), scan elsewhere
-        # (interpret mode is for testing, not production CPU meshes)
-        if opt == 0:
-            smooth = "scan"
-        elif opt == 1:
-            smooth = "fused"
-        else:
-            smooth = "fused" if jax.default_backend() == "tpu" else "scan"
+        # forces the FULLY-fused chunk kernel (round 3: prepare+smooth+
+        # finalize in one Pallas kernel per chunk, interpolate_fused_full)
+        # — the multi-chip performance path (bit-exact to the scan,
+        # tests/test_sharding.py); auto mirrors _pick_backend: fused where
+        # Pallas compiles (TPU), scan elsewhere (interpret mode is for
+        # testing, not production CPU meshes)
+        if smooth is None:
+            if opt == 0:
+                smooth = "scan"
+            elif opt == 1:
+                smooth = "fused"
+            else:
+                smooth = "fused" if jax.default_backend() == "tpu" else "scan"
         interp_fn = (
             lambda kept, aaf, spec, stride_, plane_width=None:  # noqa: E731
             interpolate_field_width_sharded(

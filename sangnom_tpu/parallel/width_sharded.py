@@ -92,13 +92,20 @@ def interpolate_field_width_sharded(
     beyond ``plane_width`` (see module docstring).  Takes and returns the
     storage dtype; bit-exact to the unsharded backends.
 
-    ``smooth``: "scan" = per-row 3-col halo exchange around XLA ops;
-    "fused" = chunked Pallas recursion with one (3R+3)-col exchange per R
-    rows (parallel/fused_smooth.py) — the multi-chip performance path.
+    ``smooth``: "scan" = per-row 3-col halo exchange around XLA ops (the
+    parity target); "chunked" = chunked-Pallas smoothing only, XLA
+    prepare/finalize (round 2); "fused" = the FULLY fused chunk kernel —
+    prepare + smoothing + finalize in one Pallas kernel per R rows with a
+    storage-dtype kept exchange (parallel/fused_smooth.py,
+    interpolate_fused_full) — the multi-chip performance path.
     """
     out_dtype = kept.dtype
-    kept = kept.astype(spec.acc_dtype)
     N, bufH, w_loc = kept.shape
+    if smooth == "fused" and bufH >= 2 and w_loc >= 9:
+        from sangnom_tpu.parallel.fused_smooth import interpolate_fused_full
+
+        return interpolate_fused_full(kept, aaf, spec, axis_name, plane_width)
+    kept = kept.astype(spec.acc_dtype)
     if bufH < 2:
         return jnp.zeros((N, 0, w_loc), out_dtype)
 
@@ -115,7 +122,8 @@ def interpolate_field_width_sharded(
         raw = jnp.where(gcol < plane_width, raw, jnp.zeros((), raw.dtype))
     raw = jnp.pad(raw, ((0, 0), (0, 0), (1, 1), (0, 0)))  # zero rows 0, bufH
 
-    if smooth == "fused" and w_loc > 6:
+    if smooth in ("chunked", "fused") and w_loc > 6:
+        # "fused" lands here only for the w_loc/bufH fallback cases above
         from sangnom_tpu.parallel.fused_smooth import smooth_sharded_chunked
 
         sm = smooth_sharded_chunked(raw, spec, axis_name)

@@ -105,6 +105,44 @@ def test_width_sharded_smooth_backends(rng, opt):
     _assert_clips_equal(got, want)
 
 
+def test_width_sharded_fully_fused_order0_dh(rng):
+    """The fully-fused chunk kernel (round 3: prepare+smooth+finalize in
+    one Pallas kernel per chunk, interpolate_fused_full) on the true-bob
+    shape: order=0 mixed parity + dh + subsampled chroma, 2x4 mesh."""
+    parity = np.array([True, False, True, False])
+    clip = _clip(rng, "YUV420P8", 64, 16, n=4, parity=parity)
+    mesh = default_mesh(data=2, space=4)
+    want = sangnom2(clip, opt=0, order=0, dh=True, aa=48, aac=48)
+    got = sangnom2_sharded(
+        clip, mesh, order=0, dh=True, aa=48, aac=48, space_axis="space",
+        opt=1,
+    )
+    _assert_clips_equal(got, want)
+
+
+def test_width_sharded_fully_fused_u16_and_float(rng):
+    """Unpacked integer (u16) and float (association-preserving hbox)
+    through the fully-fused sharded kernel."""
+    mesh = default_mesh(data=1, space=4)
+    for fmt_name, kw in [("GRAY16", dict(order=1, aa=128, aac=64)),
+                         ("GRAYS", dict(order=2))]:
+        clip = _clip(rng, fmt_name, 64, 16, n=2)
+        want = sangnom2(clip, opt=0, **kw)
+        got = sangnom2_sharded(clip, mesh, space_axis="space", opt=1, **kw)
+        _assert_clips_equal(got, want)
+
+
+def test_width_sharded_smooth_chunked_variant(rng):
+    """The round-2 chunked-smoothing-only variant stays reachable and
+    bit-exact (smooth='chunked': Pallas smoothing, XLA prepare/finalize)."""
+    clip = _clip(rng, "YUV420P8", 64, 16, n=2)
+    mesh = default_mesh(data=1, space=4)
+    want = sangnom2(clip, opt=0, order=1, aac=48)
+    got = sangnom2_sharded(clip, mesh, order=1, aac=48,
+                           space_axis="space", smooth="chunked")
+    _assert_clips_equal(got, want)
+
+
 def test_width_sharded_fused_thin_shards(rng):
     """8-way sharding of a 64-col stride leaves 8-col shards: the chunked
     smoother adapts its chunk size to the halo bound (R=(W_loc-3)//3=1) and
