@@ -123,6 +123,43 @@ _HBOX_TREE = True
 _HBOX_MERGE = "concat"
 
 
+# A/B hook: the rolled f32 hbox below was BUILT AND REJECTED on hardware
+# (round 3, -4.6% interleaved A/B at 540p YUV444PS,
+# results/floathbox_ab_interleaved.txt): dropping the 6 clamp selects
+# per slab costs MORE in the 4-part edge-merge concatenate — the same
+# lesson as the round-2 bulk-rotate tap rejection (concats force lane
+# copies; Mosaic issues selects cheaply).
+_FLOAT_HBOX_ROLLED = False
+
+
+def _hbox7_float_rolled(line: jnp.ndarray, S: int) -> jnp.ndarray:
+    """f32 7-tap box sum, association-preserving rolled bulk.
+
+    The reference's left-to-right tap ORDER is retained (t-3 + t-2 + t-1 +
+    x + t+1 + t+2 + t+3 — fp addition is not associative and the result
+    feeds an exact-equality min-select), but the bulk taps are PURE
+    circular rolls: only the 3 edge columns per side (plus wrap-
+    contaminated lanes, which coincide) see different tap VALUES, and
+    those columns are recomputed exactly on one 128-lane slab per side
+    and merged — dropping the 6 compare+select clamp pairs per slab from
+    the bulk (the f32 analogue of the integer rotate tree's edge-slab
+    merge; the tree itself is unavailable to f32 because it reassociates).
+    Bit-exact (tests/test_pallas.py) but measured SLOWER — see
+    _FLOAT_HBOX_ROLLED above.
+    """
+    taps = [_rot(line, k) for k in (-3, -2, -1)]
+    bulk = taps[0] + taps[1] + taps[2] + line
+    for k in (1, 2, 3):
+        bulk = bulk + _rot(line, k)
+    left = _hbox7_exact(line[..., :128], 128)
+    right = _hbox7_exact(line[..., S - 128 : S], 128)
+    S_pad = line.shape[-1]
+    parts = [left[..., :3], bulk[..., 3 : S - 3], right[..., -3:]]
+    if S_pad > S:
+        parts.append(bulk[..., S:])  # cols >= S: unspecified, never read
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _hbox7(line: jnp.ndarray, S: int, S_pad: int,
            is_float: bool = False) -> jnp.ndarray:
     """7-tap box sum with clamp-at-S semantics for all columns < S.
@@ -132,12 +169,17 @@ def _hbox7(line: jnp.ndarray, S: int, S_pad: int,
     columns at each boundary (and wrap-contaminated lanes, which coincide)
     differ from the clamped semantics; those are recomputed exactly on a
     128-lane slab per side and merged.  Falls back to the fully clamped
-    form for narrow planes where the slabs would overlap — and ALWAYS for
-    float: the tree changes fp32 summation association vs the reference's
-    left-to-right order (integer addition is associative, fp is not), which
-    would break the bit-exactness contract through the exact-equality
-    min-select."""
-    if is_float or S_pad < 384 or not _HBOX_TREE:
+    form for narrow planes where the slabs would overlap.  Float cannot
+    use the TREE (it changes fp32 summation association vs the reference's
+    left-to-right order — integer addition is associative, fp is not,
+    and the result feeds an exact-equality min-select) but keeps the
+    rolled-bulk + edge-slab form in the reference's tap order
+    (_hbox7_float_rolled)."""
+    if S_pad < 384 or not _HBOX_TREE:
+        return _hbox7_exact(line, S)
+    if is_float:
+        if _FLOAT_HBOX_ROLLED:
+            return _hbox7_float_rolled(line, S)
         return _hbox7_exact(line, S)
 
     a = _rot(line, -1) + line + _rot(line, 1)

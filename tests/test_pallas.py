@@ -75,6 +75,19 @@ def test_pallas_aa_zero(rng):
     _run("GRAY8", 32, 16, rng, aa=0, aac=0)
 
 
+def test_pallas_float_rolled_hbox_wide(rng, monkeypatch):
+    """The association-preserving rolled f32 hbox A/B hook
+    (_hbox7_float_rolled: reference left-to-right fp tap order, pure-roll
+    bulk + exact edge slabs) stays bit-exact on a wide float plane
+    (S_pad >= 384).  Perf-rejected (-4.6%,
+    results/floathbox_ab_interleaved.txt) but kept as a measured hook —
+    exactness through the exact-equality min-select is the hard part."""
+    import sangnom_tpu.ops.pallas_kernel as pk
+
+    monkeypatch.setattr(pk, "_FLOAT_HBOX_ROLLED", True)
+    _run("GRAYS", 500, 24, rng, order=1, aa=48, aac=48)
+
+
 def test_pallas_reduced_width_tiers(rng):
     """Subsampled chroma with a large luma stride exercises the kernel's
     width reduction with all three tiers DISTINCT (W_act < W_sm < S_pad):
