@@ -92,9 +92,42 @@ def compat_cases(n_cases: int, seed: int):
     return cases
 
 
+def bob_cases(n_cases: int, seed: int):
+    """Random interlaced clips for the fused bob pipeline (round 3):
+    checked as bob(opt=1) vs the explicit SeparateFields -> DoubleWeave ->
+    SangNom2(order=0, opt=0) pipeline on device, plus a native-oracle
+    anchor on the woven frames."""
+    rng = np.random.default_rng(seed)
+    fmts = [f for f in RANDOM_FORMATS if "A" not in f]  # alpha falls back
+    cases = []
+    for _ in range(n_cases):
+        fname = fmts[rng.integers(len(fmts))]
+        w = int(rng.integers(24, 200)) * 4
+        h = int(rng.integers(6, 120)) * 4
+        kw = dict(
+            aa=int(rng.integers(129)),
+            aac=int(rng.integers(129)),
+            tff=bool(rng.integers(2)),
+        )
+        cases.append((fname, w, h, int(rng.integers(1, 4)), kw))
+    return cases
+
+
 CAMPAIGN = CASES
 MODE = "oracle"
-if "--compat" in sys.argv:
+if "--bob" in sys.argv:
+    i = sys.argv.index("--bob")
+    try:
+        n_rand = int(sys.argv[i + 1])
+    except (IndexError, ValueError):
+        sys.exit("usage: parity_campaign_tpu.py --bob N [seed]")
+    seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 20260817
+    CAMPAIGN = bob_cases(n_rand, seed)
+    MODE = "bob"
+    print(f"bob campaign: {n_rand} cases, seed {seed} "
+          f"(fused bob opt=1 vs explicit pipeline opt=0 + oracle anchor)",
+          flush=True)
+elif "--compat" in sys.argv:
     i = sys.argv.index("--compat")
     try:
         n_rand = int(sys.argv[i + 1])
@@ -127,9 +160,40 @@ for k, (fname, w, h, n, kw) in enumerate(CAMPAIGN):
         else:
             top = (1 << (8*fmt.component_size)) - 1
             planes.append(rng.integers(0, top+1, (n, ph, pw)).astype(fmt.dtype))
+    case_fails = 0
+    if MODE == "bob":
+        from sangnom_tpu.core.fields import bob, double_weave, separate_fields
+
+        tff = kw.pop("tff")
+        clip = Clip.from_numpy(planes, fmt, tff=tff)
+        got = bob(clip, opt=1, **kw)
+        woven = double_weave(separate_fields(clip))
+        want_clip = sangnom2(woven, order=0, opt=0, **kw)
+        for i in range(fmt.num_planes):
+            if not np.array_equal(np.asarray(got.planes[i]),
+                                  np.asarray(want_clip.planes[i])):
+                case_fails += 1
+                print(f"BOB MISMATCH {fname} {w}x{h} tff={tff} {kw} "
+                      f"plane {i}", flush=True)
+        # native-oracle anchor on the first and last output frames
+        for fr in {0, 2 * n - 1}:
+            want = sangnom2_frame_oracle(
+                [np.asarray(p)[fr] for p in woven.planes], fmt, order=0,
+                frame_parity=woven.get_parity(fr), **kw,
+            )
+            for i, wp in enumerate(want):
+                if not np.array_equal(np.asarray(got.planes[i])[fr], wp):
+                    case_fails += 1
+                    print(f"BOB ORACLE MISMATCH {fname} {w}x{h} tff={tff} "
+                          f"{kw} frame {fr} plane {i}", flush=True)
+        kw["tff"] = tff  # restore for the verdict line
+        fails += case_fails
+        verdict = "OK" if case_fails == 0 else f"FAIL ({case_fails})"
+        print(f"[{k+1}/{len(CAMPAIGN)}] bob {fname} {w}x{h} n={n} {kw}: "
+              f"{verdict}", flush=True)
+        continue
     clip = Clip.from_numpy(planes, fmt)
     got = sangnom2(clip, opt=1, **kw)
-    case_fails = 0
     if MODE == "opt0":
         # compat axes: cross-check the two on-device backends whole-clip
         want_clip = sangnom2(clip, opt=0, **kw)
