@@ -5,7 +5,11 @@ Generates a synthetic y4m, runs the CLI twice (whole-clip and windowed),
 verifies byte-identical output, and reports peak RSS of the windowed run
 (the number quoted in README "Tests").
 
-    python tools/stream_soak.py [frames] [window]
+    python tools/stream_soak.py [frames] [window] [bob]
+
+Passing ``bob`` as the third argument soaks the CLI's --bob double-rate
+path instead (round 3: the fused SeparateFields+filter single-jit bob;
+windowed output must stay byte-identical to whole-clip).
 """
 import os
 import resource
@@ -21,6 +25,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 def main() -> int:
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 480
     window = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    use_bob = len(sys.argv) > 3 and sys.argv[3] == "bob"
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from sangnom_tpu.core.clip import Clip
@@ -44,8 +49,9 @@ def main() -> int:
                                                      str(window)])):
         dst = os.path.join(tmp, f"{name}.y4m")
         outs[name] = dst
+        mode = ["--bob"] if use_bob else ["--order", "1"]
         cmd = [sys.executable, "-m", "sangnom_tpu", src, dst,
-               "--order", "1", "--aa", "48"] + extra
+               "--aa", "48"] + mode + extra
         # run under a child so RSS is the CLI's, not ours
         r = subprocess.run(
             [sys.executable, "-c",
