@@ -83,7 +83,14 @@ def measure_sse2_baseline() -> tuple[float, str, float]:
 
 def _config_matrix(Clip, get_format, sangnom2, sync, rng, oracle_frame):
     """The other BASELINE.json configs: parity gate + throughput for each.
-    Returns {name: {"fps": float, "parity": "ok"|"FAIL"}}."""
+    Returns {name: {"fps": float, "parity": "ok"|"FAIL"}}.
+
+    Note: chroma planes draw from the same full-range RNG as luma (fine —
+    the filter treats planes independently and the thresholds are
+    per-plane), and the one shared ``rng`` makes the matrix deterministic
+    as a whole rather than per-config.  The parity gates here are
+    single-frame; deep randomized coverage lives in
+    tools/parity_campaign_{cpu,tpu}.py."""
     import jax.numpy as jnp
 
     cases = [

@@ -101,6 +101,20 @@ def test_bob_fused_equals_explicit_pipeline(rng, opt):
         )
 
 
+@pytest.mark.parametrize("fmt_name", ["GRAYS", "YUV420P16"])
+def test_bob_fused_other_dtypes(rng, fmt_name):
+    """Float (in-kernel weave excluded -> internal split fallback) and u16
+    through the fused bob path, vs the explicit pipeline."""
+    clip, _ = _clip(rng, fmt_name, w=32, h=16, n=2, tff=False)
+    fused = bob(clip, opt=-1)
+    explicit = sangnom2(double_weave(separate_fields(clip)), order=0, opt=-1)
+    for i in range(clip.num_planes):
+        np.testing.assert_array_equal(
+            np.asarray(fused.planes[i]), np.asarray(explicit.planes[i]),
+            err_msg=f"plane {i}",
+        )
+
+
 def test_bob_plane_mask_falls_back_to_explicit(rng):
     """With a plane mask off, the unprocessed planes must carry the WOVEN
     frame's data (both fields) — only the explicit pipeline has it."""
