@@ -15,9 +15,11 @@ Baseline: the reference's OWN SSE2 path, measured single-core on this host
 (tools/sse2_baseline compiles /root/reference/src/SangNom2_SSE2.cpp in place
 behind a shim header and times its prepare/9x-process/finalize pipeline on
 the same workload).  If the reference tree or toolchain is unavailable, the
-recorded measurement from 2026-08-16 on this host is used (40.8 fps, best of
-repeated runs).  ``vs_baseline`` is TPU fps over measured SSE2 fps; the
-north-star target is >= 10.
+recorded best-of-runs from 2026-08-17 on this host is used (105.2 fps,
+uncontended; SSE2_MEASURED_FPS_RECORDED — also the FLOOR for contended
+live runs, with the live number recorded alongside for audit).
+``vs_baseline`` is TPU fps over measured SSE2 fps; the north-star target
+is >= 10.
 
 Also reported: the full BASELINE.json config matrix (each parity-gated
 against the native oracle and timed), and the analytic VPU roofline
