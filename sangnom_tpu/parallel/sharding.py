@@ -73,6 +73,7 @@ def sangnom2_sharded(
     data_axis: str = "data",
     space_axis: Optional[str] = None,
     smooth: Optional[str] = None,
+    numerics: str = "c",
 ) -> Clip:
     """SangNom2 over a device mesh.
 
@@ -81,11 +82,18 @@ def sangnom2_sharded(
     the smoothing recursion exchanges 3-column halos per row via ppermute.
     ``smooth`` overrides the opt-derived sharded backend ("scan" |
     "chunked" | "fused"; see width_sharded.interpolate_field_width_sharded).
+    ``numerics`` selects the reference numerics contract exactly as on the
+    single-device surface ("c" | "sse2"); every sharded backend honors it
+    through the shared primitives.
     """
-    from sangnom_tpu.api import _validate  # parameter surface parity
+    from sangnom_tpu.api import SangNomError, _validate  # surface parity
     from sangnom_tpu.core.geometry import buffer_stride_elems
 
     _validate("SangNom2", clip, order, aa, aac, opt)
+    if numerics not in ("c", "sse2"):
+        raise SangNomError(
+            f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."
+        )
     del threads
 
     n_data = mesh.shape[data_axis]
@@ -144,7 +152,7 @@ def sangnom2_sharded(
     def local(planes_loc, parity_loc):
         return sangnom2_impl(
             planes_loc, parity_loc, fmt, order, aa, aac, dh, luma, chroma,
-            opt, **impl_kw,
+            opt, numerics=numerics, **impl_kw,
         )
 
     shmapped = jax.shard_map(

@@ -132,6 +132,23 @@ def test_width_sharded_fully_fused_u16_and_float(rng):
         _assert_clips_equal(got, want)
 
 
+def test_width_sharded_sse2_numerics(rng):
+    """The reference's SSE2 numerics contract through the sharded surface
+    (round 3: sangnom2_sharded grows the ``numerics`` axis; the shared
+    primitives carry it into every sharded backend incl. the fully-fused
+    chunk kernel) — bit-exact vs the unsharded sse2 path at the integer
+    extremes where the contracts genuinely diverge."""
+    clip = _clip(rng, "YUV420P8", 64, 16, n=2)
+    mesh = default_mesh(data=2, space=4)
+    for opt in (0, 1):
+        want = sangnom2(clip, opt=0, order=1, aa=0, numerics="sse2")
+        got = sangnom2_sharded(clip, mesh, order=1, aa=0,
+                               space_axis="space", opt=opt, numerics="sse2")
+        _assert_clips_equal(got, want)
+    with pytest.raises(Exception, match="numerics"):
+        sangnom2_sharded(clip, mesh, numerics="bogus")
+
+
 def test_width_sharded_smooth_chunked_variant(rng):
     """The round-2 chunked-smoothing-only variant stays reachable and
     bit-exact (smooth='chunked': Pallas smoothing, XLA prepare/finalize)."""
