@@ -10,6 +10,7 @@ plane's width shards over the ``space`` axis with ppermute halo exchange
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -42,6 +43,35 @@ def default_mesh(
     return Mesh(np.asarray(devices[:n]).reshape(data, space), ("data", "space"))
 
 
+def _sharded_pad_width(
+    w_i: int, h_i: int, stride: int, n_space: int, fmt, dh: bool
+) -> int:
+    """Padded width for one plane under width sharding: the least multiple
+    of ``n_space`` that provably preserves the full-stride semantics.
+
+    The reference smooths every plane over the LUMA-derived buffer stride
+    (SURVEY.md §2 quirk 6), so subsampled chroma carries up to 2x padding.
+    The single-chip kernels already cut that via the observable-creep /
+    integer-decay bounds (ops.pallas_kernel._width_tiers: clamping the hbox
+    at S_clamp >= the bound is invisible in the trimmed output, verified
+    against the full-stride native oracle); this applies the SAME bounds to
+    the globally padded array the shards divide, instead of always padding
+    to the full stride — at 1080p 4:2:0 this halves the sharded chroma
+    compute and every chroma halo exchange."""
+    from sangnom_tpu.ops.pallas_kernel import _DECAY_BOUND, _decay_hops
+    from sangnom_tpu.ops.primitives import KernelSpec
+
+    spec = KernelSpec.from_format(fmt)
+    bufH = h_i if dh else h_i // 2
+    creep = w_i + 3 * bufH + 3
+    if _DECAY_BOUND and not spec.is_float:
+        creep = min(creep, w_i + 3 * _decay_hops(spec.mask) + 6)
+    s_eff = min(stride, -(-creep // n_space) * n_space)
+    # keep shards at least as wide as the full-stride case would allow the
+    # fused kernel (or, for narrow strides, no narrower than stride/n)
+    return max(s_eff, min(stride, n_space * 9))
+
+
 def _validate_width_sharding(stride: int, n_space: int) -> None:
     """Every plane is padded to the luma-derived buffer stride before
     sharding, so the only requirements are on the stride itself."""
@@ -57,6 +87,54 @@ def _validate_width_sharding(stride: int, n_space: int) -> None:
             f"local width {stride // n_space} < 3: too many 'space' "
             f"shards for stride {stride}"
         )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "fmt", "order", "aa", "aac", "dh", "luma", "chroma", "opt",
+        "numerics", "data_axis", "space_axis", "smooth", "plane_widths",
+        "stride",
+    ),
+)
+def _sharded_jit(planes, parity, *, mesh, fmt, order, aa, aac, dh, luma,
+                 chroma, opt, numerics, data_axis, space_axis, smooth,
+                 plane_widths, stride):
+    """The cached compiled sharded program.
+
+    Everything configuration-like is a STATIC argument so repeat calls with
+    the same mesh/params hit the jit cache — building the shard_map closure
+    fresh and jitting it per call retraced AND recompiled the whole sharded
+    program every invocation, which measured ~200 ms/frame of host-side
+    compile time against ~0.3 ms/frame of device time at 1080p
+    (results/sharded1_tpu_r03.txt)."""
+    if space_axis:
+        interp_fn = (
+            lambda kept, aaf, spec, stride_, plane_width=None:  # noqa: E731
+            interpolate_field_width_sharded(
+                kept, aaf, spec, space_axis, plane_width, smooth=smooth
+            )
+        )
+        plane_spec = P(data_axis, None, space_axis)
+        impl_kw = dict(interp_fn=interp_fn, plane_widths=plane_widths,
+                       stride=stride)
+    else:
+        plane_spec = P(data_axis, None, None)
+        impl_kw = dict(interp_fn=None)  # per-shard default backend
+
+    def local(planes_loc, parity_loc):
+        return sangnom2_impl(
+            planes_loc, parity_loc, fmt, order, aa, aac, dh, luma, chroma,
+            opt, numerics=numerics, **impl_kw,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(tuple(plane_spec for _ in planes), P(data_axis)),
+        out_specs=tuple(plane_spec for _ in planes),
+        check_vma=False,
+    )(planes, parity)
 
 
 def sangnom2_sharded(
@@ -111,13 +189,20 @@ def sangnom2_sharded(
         if pad:
             p = jnp.pad(p, ((0, pad), (0, 0), (0, 0)))
         if space_axis and p.shape[2] < stride:
-            # pad every plane to the buffer stride with EDGE REPLICATION:
+            # pad the plane toward the buffer stride with EDGE REPLICATION:
             # pixel taps that clamp at the true width then read the
             # replicated edge pixel (loadPixel semantics), while the
             # zero-defined raw-map padding is re-created inside the sharded
-            # kernel by a global-column mask (see parallel.width_sharded)
-            p = jnp.pad(p, ((0, 0), (0, 0), (0, stride - p.shape[2])),
-                        mode="edge")
+            # kernel by a global-column mask (see parallel.width_sharded).
+            # The padded width stops at the creep/decay bound rather than
+            # the full stride (_sharded_pad_width) — bit-exact, and it
+            # halves 4:2:0 chroma compute + halo traffic.
+            s_eff = _sharded_pad_width(
+                p.shape[2], p.shape[1], stride, n_space, fmt, dh
+            )
+            if p.shape[2] < s_eff:
+                p = jnp.pad(p, ((0, 0), (0, 0), (0, s_eff - p.shape[2])),
+                            mode="edge")
         planes.append(p)
     planes = tuple(planes)
     parity = jnp.pad(clip.parity_array(), (0, pad)) if pad else clip.parity_array()
@@ -137,31 +222,14 @@ def sangnom2_sharded(
                 smooth = "fused"
             else:
                 smooth = "fused" if jax.default_backend() == "tpu" else "scan"
-        interp_fn = (
-            lambda kept, aaf, spec, stride_, plane_width=None:  # noqa: E731
-            interpolate_field_width_sharded(
-                kept, aaf, spec, space_axis, plane_width, smooth=smooth
-            )
-        )
-        plane_spec = P(data_axis, None, space_axis)
-        impl_kw = dict(interp_fn=interp_fn, plane_widths=widths, stride=stride)
     else:
-        plane_spec = P(data_axis, None, None)
-        impl_kw = dict(interp_fn=None)  # per-shard default backend
-
-    def local(planes_loc, parity_loc):
-        return sangnom2_impl(
-            planes_loc, parity_loc, fmt, order, aa, aac, dh, luma, chroma,
-            opt, numerics=numerics, **impl_kw,
-        )
-
-    shmapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(tuple(plane_spec for _ in planes), P(data_axis)),
-        out_specs=tuple(plane_spec for _ in planes),
-        check_vma=False,
+        smooth = None
+    out_planes = _sharded_jit(
+        planes, parity, mesh=mesh, fmt=fmt, order=order, aa=aa, aac=aac,
+        dh=dh, luma=luma, chroma=chroma, opt=opt, numerics=numerics,
+        data_axis=data_axis, space_axis=space_axis, smooth=smooth,
+        plane_widths=widths if space_axis else None,
+        stride=stride if space_axis else None,
     )
-    out_planes = jax.jit(shmapped)(planes, parity)
     out_planes = tuple(p[:N, :, :w] for p, w in zip(out_planes, widths))
     return clip.with_planes(out_planes)

@@ -249,3 +249,20 @@ def test_width_sharded_alpha_passthrough(rng):
     want = sangnom2(clip, opt=0, order=2)
     got = sangnom2_sharded(clip, mesh, order=2, space_axis="space")
     _assert_clips_equal(got, want)
+
+
+def test_sharded_repeat_calls_hit_jit_cache(rng):
+    """Repeat calls with the same mesh/config must not retrace: the
+    per-call closure jit retraced AND recompiled the whole sharded program
+    every invocation (~200 ms/frame of host compile vs ~0.3 ms/frame of
+    device time at 1080p, results/sharded1_tpu_r03.txt)."""
+    from sangnom_tpu.parallel.sharding import _sharded_jit
+
+    clip = _clip(rng, "YUV420P8", 32, 16, n=4)
+    mesh = default_mesh(data=2, space=2)
+    kw = dict(order=1, dh=True, space_axis="space")
+    first = sangnom2_sharded(clip, mesh, **kw)
+    size = _sharded_jit._cache_size()
+    again = sangnom2_sharded(clip, mesh, **kw)
+    assert _sharded_jit._cache_size() == size, "second call retraced"
+    _assert_clips_equal(again, first)
