@@ -266,3 +266,19 @@ def test_sharded_repeat_calls_hit_jit_cache(rng):
     again = sangnom2_sharded(clip, mesh, **kw)
     assert _sharded_jit._cache_size() == size, "second call retraced"
     _assert_clips_equal(again, first)
+
+
+def test_width_sharded_411_deep_stride_cut(rng):
+    """YUV411P8: the deepest chroma subsampling (w/4), where the creep/
+    decay-bound padded width (_sharded_pad_width) cuts the sharded chroma
+    array hardest below the luma stride — and a u16 case, whose decay
+    bound is wider (14 hops).  Both must stay bit-exact vs unsharded."""
+    mesh = default_mesh(data=1, space=4)
+    for fmt_name, kw in [("YUV411P8", dict(order=1, dh=True, aac=48)),
+                         ("YUV422P16", dict(order=2, aa=128))]:
+        clip = _clip(rng, fmt_name, 128, 16, n=2)
+        for opt in (0, 1):
+            want = sangnom2(clip, opt=0, **kw)
+            got = sangnom2_sharded(clip, mesh, space_axis="space", opt=opt,
+                                   **kw)
+            _assert_clips_equal(got, want)
