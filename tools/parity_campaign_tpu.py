@@ -113,9 +113,46 @@ def bob_cases(n_cases: int, seed: int):
     return cases
 
 
+def sharded_cases(n_cases: int, seed: int):
+    """Random cases through sangnom2_sharded on a REAL 1-device
+    ('data','space') mesh — the width-sharded kernels (fused / chunked /
+    scan, incl. the creep/decay-bound padded widths) compiled by actual
+    Mosaic instead of interpret mode, checked vs the unsharded opt=0
+    backend on device plus a native-oracle anchor."""
+    rng = np.random.default_rng(seed)
+    cases = []
+    for _ in range(n_cases):
+        fname = RANDOM_FORMATS[rng.integers(len(RANDOM_FORMATS))]
+        w = int(rng.integers(24, 200)) * 4
+        h = int(rng.integers(4, 140)) * 4
+        kw = dict(
+            order=int(rng.integers(3)),
+            dh=bool(rng.integers(2)),
+            aa=int(rng.integers(129)),
+            aac=int(rng.integers(129)),
+            smooth=("fused", "chunked", "scan")[rng.integers(3)],
+        )
+        if not get_format(fname).is_float and rng.integers(2):
+            kw["numerics"] = "sse2"
+        cases.append((fname, w, h, int(rng.integers(1, 4)), kw))
+    return cases
+
+
 CAMPAIGN = CASES
 MODE = "oracle"
-if "--bob" in sys.argv:
+if "--sharded" in sys.argv:
+    i = sys.argv.index("--sharded")
+    try:
+        n_rand = int(sys.argv[i + 1])
+    except (IndexError, ValueError):
+        sys.exit("usage: parity_campaign_tpu.py --sharded N [seed]")
+    seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 20260817
+    CAMPAIGN = sharded_cases(n_rand, seed)
+    MODE = "sharded"
+    print(f"sharded campaign: {n_rand} cases, seed {seed} "
+          f"(sangnom2_sharded on a 1-device 'space' mesh vs unsharded "
+          f"opt=0 + oracle anchor)", flush=True)
+elif "--bob" in sys.argv:
     i = sys.argv.index("--bob")
     try:
         n_rand = int(sys.argv[i + 1])
@@ -193,6 +230,35 @@ for k, (fname, w, h, n, kw) in enumerate(CAMPAIGN):
               f"{verdict}", flush=True)
         continue
     clip = Clip.from_numpy(planes, fmt)
+    if MODE == "sharded":
+        from sangnom_tpu.parallel import default_mesh, sangnom2_sharded
+
+        mesh = default_mesh(data=1, space=1)
+        got = sangnom2_sharded(clip, mesh, space_axis="space", **kw)
+        base_kw = {k: v for k, v in kw.items() if k != "smooth"}
+        want_clip = sangnom2(clip, opt=0, **base_kw)
+        for i in range(fmt.num_planes):
+            if not np.array_equal(np.asarray(got.planes[i]),
+                                  np.asarray(want_clip.planes[i])):
+                case_fails += 1
+                print(f"SHARDED MISMATCH {fname} {w}x{h} {kw} plane {i}",
+                      flush=True)
+        okw = {k: v for k, v in base_kw.items() if k != "numerics"}
+        if kw.get("numerics", "c") == "c":
+            want = sangnom2_frame_oracle(
+                [p[0] for p in planes], fmt,
+                frame_parity=clip.get_parity(0), **okw,
+            )
+            for i, wp in enumerate(want):
+                if not np.array_equal(np.asarray(got.planes[i])[0], wp):
+                    case_fails += 1
+                    print(f"SHARDED ORACLE MISMATCH {fname} {w}x{h} {kw} "
+                          f"plane {i}", flush=True)
+        fails += case_fails
+        verdict = "OK" if case_fails == 0 else f"FAIL ({case_fails})"
+        print(f"[{k+1}/{len(CAMPAIGN)}] sharded {fname} {w}x{h} n={n} "
+              f"{kw}: {verdict}", flush=True)
+        continue
     got = sangnom2(clip, opt=1, **kw)
     if MODE == "opt0":
         # compat axes: cross-check the two on-device backends whole-clip
