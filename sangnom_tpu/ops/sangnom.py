@@ -113,12 +113,9 @@ def deinterlace_plane_batch(
     # dh), +15% (480p u8) — but -18% for f32 444 (4-byte rows double the
     # output DMA with no narrow-dtype win), so float keeps the XLA weave.
     fused_weave = getattr(interp_fn, "fused_weave", None)
-    if (
-        fused_weave is not None
-        and plane_width is None
-        and bufH >= 2
-        and not spec.is_float
-    ):
+    weave_ok = fused_weave is not None and bufH >= 2 and not spec.is_float
+    sharded_weave = getattr(fused_weave, "sharded", False)
+    if weave_ok and plane_width is None and not sharded_weave:
         # Per-frame offsets ride the same kernel with the offsets read as
         # DATA (round 3): the interpolated rows are offset-independent, so
         # mixed-parity batches (true bob) keep the in-kernel weave at two
@@ -127,10 +124,20 @@ def deinterlace_plane_batch(
             return fused_weave(kept, offsets, aaf, spec, stride,
                                interlaced_tff=interlaced_tff)
     if interlaced_tff is not None:
-        # non-fused backends take the explicit field split (one transpose)
+        # non-fused-weave paths take the explicit field split (one
+        # transpose); the SHARDED weave below also starts from the split
+        # (its chunk relayout lives inside shard_map)
         from sangnom_tpu.core.fields import _split_plane
 
         kept = _split_plane(src, interlaced_tff)
+    if weave_ok and sharded_weave and w >= 9:
+        # sharded in-kernel weave (round 3): the fused chunk kernel emits
+        # the woven LOCAL plane inside shard_map — width shards no longer
+        # fall back to the XLA interleave (narrow shards w < 9 still do,
+        # matching the fused interpolation fallback)
+        with stage_scope("interpolate+weave"):
+            return fused_weave(kept, offsets, aaf, spec, stride,
+                               plane_width=plane_width)
 
     # backends take and return the storage dtype (widening happens inside —
     # on the Pallas path the narrow dtype streams all the way into VMEM);
@@ -138,14 +145,25 @@ def deinterlace_plane_batch(
     # width is stride-padded and the true width must come from outside
     with stage_scope("interpolate"):
         interp = interp_fn(kept, aaf, spec, stride, plane_width=plane_width)
+    return weave_assemble(kept, interp, offsets)
+
+
+def weave_assemble(
+    kept: jnp.ndarray, interp: jnp.ndarray, offsets: Offset
+) -> jnp.ndarray:
+    """XLA-side weave: interleave kept [N, bufH, w] and interpolated
+    [N, bufH-1, w] rows per ``offsets``, with the boundary missing line
+    duplicated (reference src/SangNom2.cpp:379-391): offset==0 -> bottom
+    missing line := last kept line; offset==1 -> top missing line := first
+    kept line.  Shared by the single-device non-weave path and the sharded
+    small-shard fallback."""
+    N, bufH, w = kept.shape
+    h_out = 2 * bufH
 
     def weave(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
         return jnp.stack([top, bottom], axis=2).reshape(N, h_out, w)
 
-    # Assembly + boundary duplication (reference src/SangNom2.cpp:379-391):
-    # offset==0: bottom missing line := last kept line;
-    # offset==1: top missing line := first kept line.
-    if static_offset:
+    if isinstance(offsets, int):
         if offsets == 0:
             return weave(kept, jnp.concatenate([interp, kept[:, -1:]], axis=1))
         return weave(jnp.concatenate([kept[:, :1], interp], axis=1), kept)

@@ -242,8 +242,10 @@ def _pair_values_halo(c, n, spec: KernelSpec) -> list[jnp.ndarray]:
 
 
 def _full_kernel(meta_ref, sm0_ref, k0_ref, k1_ref, k2_ref, out_ref,
-                 smout_ref, sm_ref, raw_ref, pair_ref, *, spec, w_glob,
-                 W_loc, HALO, n_steps, aaf, packed):
+                 smout_ref, sm_ref, raw_ref, pair_ref, prev0_ref=None,
+                 off_ref=None, prevout_ref=None, prev_ref=None, *, spec,
+                 w_glob, W_loc, HALO, n_steps, aaf, packed,
+                 weave_offset=None):
     """One fused chunk: grid step t computes buffer row b = base + t + 1 —
     pair values + raw maps (prepare), the smoothing recursion row, and the
     finalize select — entirely in VMEM on the halo-extended width.
@@ -255,7 +257,17 @@ def _full_kernel(meta_ref, sm0_ref, k0_ref, k1_ref, k2_ref, out_ref,
     (halo + global edge replication supply them), the raw zero-mask
     compares GLOBAL columns against the plane width, and the vertical-sum
     line is re-replicated at the GLOBAL edges each step (the hbox clamp at
-    0/S, exactly `_smooth_kernel`'s fixup)."""
+    0/S, exactly `_smooth_kernel`'s fixup).
+
+    ``weave_offset`` non-None selects IN-KERNEL WEAVE emission (the
+    sharded analogue of ops.pallas_kernel._kernel's weave arm): each step
+    emits output rows {2s, 2s+1} of the final interleaved plane for the
+    GLOBAL step s = base + t, incl. the boundary-line duplication; the
+    grid covers bufH steps (one more than interpolation needs) for the
+    tail rows.  0/1 are static offsets; "pf" reads per-frame offsets from
+    ``off_ref`` ([N, 128] i32 lanes).  offset 1 / "pf" emit the interp
+    row one step late through ``prev_ref`` scratch, seeded across CHUNK
+    boundaries from ``prev0_ref`` and carried out via ``prevout_ref``."""
     t = pl.program_id(0)
     acc = spec.acc_dtype
     left = meta_ref[0] != 0
@@ -288,6 +300,8 @@ def _full_kernel(meta_ref, sm0_ref, k0_ref, k1_ref, k2_ref, out_ref,
         pair_ref[...] = jnp.stack(v01)
         raw_ref[...] = raw_of(v01)
         sm_ref[...] = sm0_ref[...]  # carried from the previous chunk
+        if prev_ref is not None:
+            prev_ref[...] = prev0_ref[...]  # interp row carried across chunks
 
     pv = [pair_ref[i] for i in range(18)]
     # pair-carry reuse (see ops.pallas_kernel._kernel): only row b+1's taps
@@ -326,7 +340,35 @@ def _full_kernel(meta_ref, sm0_ref, k0_ref, k1_ref, k2_ref, out_ref,
     smout_ref[...] = sm  # constant index map: the last step's row survives
 
     sm9 = _unpack_sm(sm) if packed else [sm[i] for i in range(9)]
-    out_ref[0] = _finalize(pv, sm9, aaf, spec).astype(out_ref.dtype)
+    res = _finalize(pv, sm9, aaf, spec).astype(out_ref.dtype)
+    if weave_offset is None:
+        out_ref[0] = res
+    else:
+        # in-kernel weave (the sharded analogue of ops.pallas_kernel
+        # ._kernel's weave arm): GLOBAL step s emits output rows {2s, 2s+1}.
+        # The grid covers one extra global step (s == n_steps) whose
+        # finalize result is discarded by the selects below; res is valid
+        # for s < n_steps only.
+        s = base + t
+        k0_raw = k0_ref[0]  # kept row s, STORAGE dtype (pre-widening)
+        if weave_offset == "pf":
+            off0 = off_ref[:, 0:1] == 0  # [N, 1], broadcasts over lanes
+            out_ref[0] = jnp.where(off0 | (s == 0), k0_raw, prev_ref[...])
+            out_ref[1] = jnp.where(off0 & (s < n_steps), res, k0_raw)
+        elif weave_offset == 0:
+            # rows {2s, 2s+1} = (kept[s], interp[s]); tail rows duplicate
+            # the last kept line (reference src/SangNom2.cpp:381-385)
+            out_ref[0] = k0_raw
+            out_ref[1] = jnp.where(s < n_steps, res, k0_raw)
+        else:
+            # rows {2s, 2s+1} = (interp[s-1], kept[s]); row 0 duplicates
+            # kept[0] (reference src/SangNom2.cpp:386-391) — interp rows
+            # are emitted one step LATE through the prev carry
+            out_ref[0] = jnp.where(s == 0, k0_raw, prev_ref[...])
+            out_ref[1] = k0_raw
+        if prev_ref is not None:
+            prev_ref[...] = res
+            prevout_ref[...] = res  # constant map: chunk's last res survives
     raw_ref[...] = raw_next
     pair_ref[...] = jnp.stack(v12)
 
@@ -348,6 +390,36 @@ def interpolate_fused_full(
     smoothing), so a width shard's compute path matches the single-chip
     fused kernel instead of per-row XLA glue.
     """
+    return _fused_full(kept, aaf, spec, axis_name, plane_width, chunk_rows)
+
+
+def deinterlace_fused_full(
+    kept: jnp.ndarray, offsets, aaf, spec: KernelSpec, axis_name: str,
+    plane_width: int | None = None, chunk_rows: int = 16,
+) -> jnp.ndarray:
+    """Sharded IN-KERNEL WEAVE: [N, bufH, W_loc] shard-local kept field ->
+    the COMPLETE deinterlaced local plane [N, 2*bufH, W_loc], kept and
+    interpolated rows interleaved per ``offsets`` with the boundary line
+    duplicated — the sharded analogue of
+    ops.pallas_kernel.deinterlace_field_batch_fused, so a width shard no
+    longer pays the XLA-side interleave pass either.  ``offsets`` is a
+    static int (0/1) or a per-frame [N] array (offsets read as data inside
+    the kernel, serving order=0 mixed-parity batches).  Must run inside
+    shard_map; same communication pattern as `interpolate_fused_full`.
+    """
+    per_frame = not isinstance(offsets, int)
+    return _fused_full(
+        kept, aaf, spec, axis_name, plane_width, chunk_rows,
+        weave_offset="pf" if per_frame else offsets,
+        offsets=offsets if per_frame else None,
+    )
+
+
+def _fused_full(
+    kept: jnp.ndarray, aaf, spec: KernelSpec, axis_name: str,
+    plane_width: int | None, chunk_rows: int,
+    weave_offset=None, offsets=None,
+) -> jnp.ndarray:
     from sangnom_tpu.parallel.width_sharded import _exchange_halo
 
     out_dtype = kept.dtype
@@ -362,12 +434,19 @@ def interpolate_fused_full(
         # single-shard fallback well-defined)
     packed = _packed_smoothing(spec)
     n_sm = 5 if packed else 9
+    weave = weave_offset is not None
+    # interp rows are emitted one step late for offset 1 / per-frame
+    # offsets: a cross-chunk carry rides the scan state
+    prev_carry = weave_offset in (1, "pf")
+    # the weave grid covers bufH global steps (one more than interpolation
+    # needs) for the tail output rows
+    n_tot = bufH if weave else n_steps
 
     # halo: 3 cols/row of recursion creep over R rows + 3 hbox taps
     # + 3 pixel taps (raw maps computed in-kernel from kept); the exchange
     # reaches only the adjacent shard, so HALO = 3R+6 <= W_loc (the caller
     # falls back to the chunked-smoothing path for W_loc < 9)
-    R = max(1, min(chunk_rows, n_steps, (W_loc - 6) // 3))
+    R = max(1, min(chunk_rows, n_tot, (W_loc - 6) // 3))
     HALO = 3 * R + 6
     W_ext = max(_round_up(W_loc + 2 * HALO, 128), 128)
     pad_r = W_ext - W_loc - 2 * HALO
@@ -377,7 +456,7 @@ def interpolate_fused_full(
     # replication consistent)
     keptx = _exchange_halo(kept, HALO, axis_name)
     keptx = jnp.pad(keptx, ((0, 0), (0, 0), (0, pad_r)), mode="edge")
-    n_chunks = -(-n_steps // R)
+    n_chunks = -(-n_tot // R)
     keptx = jnp.pad(keptx, ((0, 0), (0, n_chunks * R + 2 - bufH), (0, 0)))
     rows = jnp.moveaxis(keptx, 1, 0)  # [rows, N, W_ext]
     chunks = jnp.stack(
@@ -393,54 +472,96 @@ def interpolate_fused_full(
     ])
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * R
 
-    kernel = functools.partial(
+    body = functools.partial(
         _full_kernel, spec=spec, w_glob=w_glob, W_loc=W_loc, HALO=HALO,
-        n_steps=n_steps, aaf=aaf, packed=packed,
+        n_steps=n_steps, aaf=aaf, packed=packed, weave_offset=weave_offset,
     )
     row_view = lambda o: pl.BlockSpec(  # noqa: E731
         (1, N, W_ext), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
     )
+    const_view = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        const_view((n_sm, N, W_ext)),
+        row_view(0), row_view(1), row_view(2),
+    ]
+    out_specs = [
+        pl.BlockSpec((2 if weave else 1, N, W_ext), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const_view((n_sm, N, W_ext)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(((2 if weave else 1) * R, N, W_ext), out_dtype),
+        jax.ShapeDtypeStruct((n_sm, N, W_ext), spec.acc_dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((n_sm, N, W_ext), spec.acc_dtype),  # sm row b-1
+        pltpu.VMEM((n_sm, N, W_ext), spec.acc_dtype),  # raw row b
+        pltpu.VMEM((18, N, W_ext), spec.acc_dtype),    # pair carry
+    ]
+    per_frame = weave_offset == "pf"
+    if prev_carry:
+        in_specs.append(const_view((N, W_ext)))        # prev0 (chunk seed)
+        if per_frame:
+            in_specs.append(const_view((N, 128)))      # per-frame offsets
+        out_specs.append(const_view((N, W_ext)))       # prevout
+        out_shape.append(jax.ShapeDtypeStruct((N, W_ext), out_dtype))
+        scratch.append(pltpu.VMEM((N, W_ext), out_dtype))  # carried interp
+
+        if per_frame:
+            def kernel(meta, sm0, k0, k1, k2, prev0, off, out, smout,
+                       prevout, sm, raw, pair, prev):
+                body(meta, sm0, k0, k1, k2, out, smout, sm, raw, pair,
+                     prev0_ref=prev0, off_ref=off, prevout_ref=prevout,
+                     prev_ref=prev)
+        else:
+            def kernel(meta, sm0, k0, k1, k2, prev0, out, smout, prevout,
+                       sm, raw, pair, prev):
+                body(meta, sm0, k0, k1, k2, out, smout, sm, raw, pair,
+                     prev0_ref=prev0, prevout_ref=prevout, prev_ref=prev)
+    else:
+        kernel = body
     call = pl.pallas_call(
         kernel,
         grid=(R,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_sm, N, W_ext), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            row_view(0), row_view(1), row_view(2),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, N, W_ext), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_sm, N, W_ext), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, N, W_ext), out_dtype),
-            jax.ShapeDtypeStruct((n_sm, N, W_ext), spec.acc_dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_sm, N, W_ext), spec.acc_dtype),  # sm row b-1
-            pltpu.VMEM((n_sm, N, W_ext), spec.acc_dtype),  # raw row b
-            pltpu.VMEM((18, N, W_ext), spec.acc_dtype),    # pair carry
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=jax.default_backend() != "tpu",
     )
+    if per_frame:
+        # [N, 128] i32 lane-broadcast offsets (the smallest Mosaic-tileable
+        # shape), constant across chunks
+        offp = jnp.broadcast_to(
+            jnp.asarray(offsets, jnp.int32)[:, None], (N, 128)
+        )
 
-    def chunk_step(sm_loc, xs):
+    def chunk_step(carry, xs):
+        sm_loc, prev = carry
         chunk, b = xs
         # ONE collective per R rows: the carry row's halo
         smx = _exchange_halo(sm_loc, HALO, axis_name)
         smx = jnp.pad(smx, ((0, 0), (0, 0), (0, pad_r)), mode="edge")
         meta = jnp.concatenate([meta_base, b[None]])
-        res, smo = call(meta, smx, chunk, chunk, chunk)
-        return smo[:, :, HALO : HALO + W_loc], res
+        operands = [meta, smx, chunk, chunk, chunk]
+        if prev_carry:
+            operands.append(prev)
+            if per_frame:
+                operands.append(offp)
+            res, smo, prev = call(*operands)
+        else:
+            res, smo = call(*operands)
+        return (smo[:, :, HALO : HALO + W_loc], prev), res
 
     sm0 = jnp.zeros((n_sm, N, W_loc), spec.acc_dtype)
-    _, res = jax.lax.scan(chunk_step, sm0, (chunks, bases))
-    res = res.reshape(n_chunks * R, N, W_ext)
-    res = res[:n_steps, :, HALO : HALO + W_loc]
+    prev0 = jnp.zeros((N, W_ext), out_dtype)  # never read at global step 0
+    (_, _), res = jax.lax.scan(chunk_step, (sm0, prev0), (chunks, bases))
+    res = res.reshape(n_chunks * R * (2 if weave else 1), N, W_ext)
+    res = res[: 2 * bufH if weave else n_steps, :, HALO : HALO + W_loc]
     return jnp.moveaxis(res, 0, 1).astype(out_dtype)

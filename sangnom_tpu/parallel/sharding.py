@@ -115,6 +115,25 @@ def _sharded_jit(planes, parity, *, mesh, fmt, order, aa, aac, dh, luma,
                 kept, aaf, spec, space_axis, plane_width, smooth=smooth
             )
         )
+        if smooth == "fused":
+            # sharded IN-KERNEL WEAVE (round 3): the fused chunk kernel
+            # emits the woven local plane directly, so width shards skip
+            # the XLA interleave too (parallel/fused_smooth.py,
+            # deinterlace_fused_full).  `.sharded` routes the dispatch in
+            # ops.sangnom.deinterlace_plane_batch (the weave runs INSIDE
+            # shard_map here, unlike the single-chip attr).
+            from sangnom_tpu.parallel.fused_smooth import (
+                deinterlace_fused_full,
+            )
+
+            def _fused_weave(kept, offsets, aaf, spec, stride_,
+                             plane_width=None):
+                return deinterlace_fused_full(
+                    kept, offsets, aaf, spec, space_axis, plane_width
+                )
+
+            _fused_weave.sharded = True
+            interp_fn.fused_weave = _fused_weave
         plane_spec = P(data_axis, None, space_axis)
         impl_kw = dict(interp_fn=interp_fn, plane_widths=plane_widths,
                        stride=stride)

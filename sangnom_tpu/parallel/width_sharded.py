@@ -97,11 +97,13 @@ def interpolate_field_width_sharded(
     prepare/finalize (round 2); "fused" = the FULLY fused chunk kernel —
     prepare + smoothing + finalize in one Pallas kernel per R rows with a
     storage-dtype kept exchange (parallel/fused_smooth.py,
-    interpolate_fused_full) — the multi-chip performance path.
+    interpolate_fused_full) — the multi-chip performance path
+    ("fused_noweave" = the same kernel without the in-kernel weave
+    emission; A/B hook, see parallel.sharding).
     """
     out_dtype = kept.dtype
     N, bufH, w_loc = kept.shape
-    if smooth == "fused" and bufH >= 2 and w_loc >= 9:
+    if smooth in ("fused", "fused_noweave") and bufH >= 2 and w_loc >= 9:
         from sangnom_tpu.parallel.fused_smooth import interpolate_fused_full
 
         return interpolate_fused_full(kept, aaf, spec, axis_name, plane_width)
@@ -122,7 +124,7 @@ def interpolate_field_width_sharded(
         raw = jnp.where(gcol < plane_width, raw, jnp.zeros((), raw.dtype))
     raw = jnp.pad(raw, ((0, 0), (0, 0), (1, 1), (0, 0)))  # zero rows 0, bufH
 
-    if smooth in ("chunked", "fused") and w_loc > 6:
+    if smooth in ("chunked", "fused", "fused_noweave") and w_loc > 6:
         # "fused" lands here only for the w_loc/bufH fallback cases above
         from sangnom_tpu.parallel.fused_smooth import smooth_sharded_chunked
 

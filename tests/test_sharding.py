@@ -282,3 +282,33 @@ def test_width_sharded_411_deep_stride_cut(rng):
             got = sangnom2_sharded(clip, mesh, space_axis="space", opt=opt,
                                    **kw)
             _assert_clips_equal(got, want)
+
+
+def test_width_sharded_in_kernel_weave_engaged(rng, monkeypatch):
+    """The sharded fused path must route through the IN-KERNEL weave
+    (deinterlace_fused_full) for all three offset modes — static 0/1 and
+    per-frame ('pf') — not fall back to the XLA interleave, and stay
+    bit-exact vs the unsharded reference."""
+    import sangnom_tpu.parallel.fused_smooth as fs
+
+    seen = []
+    orig = fs._fused_full
+
+    def spy(*args, **kw):
+        seen.append(kw.get("weave_offset"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fs, "_fused_full", spy)
+    mesh = default_mesh(data=1, space=4)
+    cases = [
+        ("YUV420P8", dict(order=1, dh=True), None, 0),
+        ("GRAY8", dict(order=2), None, 1),
+        ("GRAY8", dict(order=0), np.array([True, False, True]), "pf"),
+    ]
+    for fmt_name, kw, parity, expect in cases:
+        seen.clear()
+        clip = _clip(rng, fmt_name, 64, 16, n=3, parity=parity)
+        want = sangnom2(clip, opt=0, **kw)
+        got = sangnom2_sharded(clip, mesh, space_axis="space", opt=1, **kw)
+        _assert_clips_equal(got, want)
+        assert expect in seen, (fmt_name, kw, seen)
