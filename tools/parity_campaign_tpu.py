@@ -130,7 +130,8 @@ def sharded_cases(n_cases: int, seed: int):
             dh=bool(rng.integers(2)),
             aa=int(rng.integers(129)),
             aac=int(rng.integers(129)),
-            smooth=("fused", "chunked", "scan")[rng.integers(3)],
+            smooth=("fused", "chunked", "scan",
+                    "fused_noweave")[rng.integers(4)],
         )
         if not get_format(fname).is_float and rng.integers(2):
             kw["numerics"] = "sse2"
@@ -233,6 +234,12 @@ for k, (fname, w, h, n, kw) in enumerate(CAMPAIGN):
     if MODE == "sharded":
         from sangnom_tpu.parallel import default_mesh, sangnom2_sharded
 
+        if kw.get("order") == 0 and n > 1:
+            # MIXED per-frame parity: exercises the sharded per-frame-
+            # offset ('pf') in-kernel weave with genuinely divergent
+            # offsets on real Mosaic
+            par = np.asarray(rng.integers(0, 2, n), dtype=bool)
+            clip = Clip.from_numpy(planes, fmt, parity=par)
         mesh = default_mesh(data=1, space=1)
         got = sangnom2_sharded(clip, mesh, space_axis="space", **kw)
         base_kw = {k: v for k, v in kw.items() if k != "smooth"}
