@@ -131,6 +131,19 @@ _HBOX_MERGE = "concat"
 # copies; Mosaic issues selects cheaply).
 _FLOAT_HBOX_ROLLED = False
 
+# Trace-time switch: 3-roll cumulative-sum integer hbox bulk vs the
+# 4-roll rotate tree (A/B hook).  b covers taps {0,1}, c covers {0..3},
+# and c[x] + c[x-3] double-counts only tap 0, which one exact integer
+# subtraction removes — one fewer roll on the DOMINANT smoothing slabs
+# (the kernel is ROLL-bound: rolls issue at ~1/13 the add rate,
+# tools/calibrate_vpu.py).  Wrap contamination stays within 3 lanes per
+# side (b: 1, c: 3, rot(c,-3): 3 at the left), so the edge-slab merge
+# boundaries are IDENTICAL to the tree's.  Integer-only: the form
+# reassociates and uses subtraction (exact in wrap arithmetic; per-field
+# exact for the packed path since every field of c+d >= the field of
+# line, so no cross-field borrow).
+_HBOX_SUB3 = True
+
 
 def _hbox7_float_rolled(line: jnp.ndarray, S: int) -> jnp.ndarray:
     """f32 7-tap box sum, association-preserving rolled bulk.
@@ -182,8 +195,13 @@ def _hbox7(line: jnp.ndarray, S: int, S_pad: int,
             return _hbox7_float_rolled(line, S)
         return _hbox7_exact(line, S)
 
-    a = _rot(line, -1) + line + _rot(line, 1)
-    bulk = _rot(a, -2) + line + _rot(a, 2)
+    if _HBOX_SUB3:
+        b = line + _rot(line, 1)
+        c = b + _rot(b, 2)              # taps {0..3}
+        bulk = c + _rot(c, -3) - line   # {-3..0} + {0..3}, tap 0 removed
+    else:
+        a = _rot(line, -1) + line + _rot(line, 1)
+        bulk = _rot(a, -2) + line + _rot(a, 2)
 
     # exact left edge: columns 0..2 depend on line[0..5] only
     left = _hbox7_exact(line[..., :128], 128)

@@ -19,17 +19,20 @@ sub+abs (2), `avg_pair` is add+add+shift+and (4):
   error_maps (W_act)             38    9 abs_diff x2 + pad-mask where x2,
                                        over 9 maps (2 ops each) = 18+18+2
   vertical 3-sum (W_sm)          18    2 adds x 9 maps
-  hbox7 rotate tree (W_sm)       72    (2 rot + 2 add) x2 stages x 9 maps
+  hbox7 3-roll cum-sub (W_sm)    63    (3 rot + 4 add/sub) x 9 maps
+                                       (integer paths, _HBOX_SUB3; the
+                                       float path keeps the 4-roll exact
+                                       association = 72)
   smooth writeback (W_sm)        18    (shift + and) x 9 maps
   finalize (W_act)               38    8-op min tree + 7x(eq+2 sel) +
                                        vert eq/cmp/or + 2 sel + avg_pair
   output cast (W_act)             1
   -----------------------------------------------------------------------
-  total: 105/col on W_act + 108/col on W_sm per step
+  total: 105/col on W_act + 99/col on W_sm per step (int; float 108)
 
 u8 C-numerics runs the PACKED smoothing (pallas_kernel._packed_smoothing:
 two maps per i32 lane, 5 slabs instead of 9): the three W_sm stages scale
-by 5/9 (vertical 10, hbox 40, writeback 10 -> 60/col on W_sm) plus
+by 5/9 (vertical 10, hbox 35, writeback 10 -> 55/col on W_sm) plus
 pack (shift+or x4) and unpack (shift x4 + and x4) = +16/col on W_act.
 
 This counts ALGORITHMIC vector ops on 8x128 i32 lanes; it excludes DMA,
@@ -50,9 +53,9 @@ from sangnom_tpu.ops.pallas_kernel import _width_tiers
 from sangnom_tpu.ops.primitives import KernelSpec
 
 OPS_PER_COL_ACT = 105
-OPS_PER_COL_SM = 108
+OPS_PER_COL_SM = 99       # integer (3-roll hbox); float paths are 108
 # packed u8 smoothing (pallas_kernel._packed_smoothing)
-OPS_PER_COL_SM_PACKED = 60
+OPS_PER_COL_SM_PACKED = 55
 OPS_PER_COL_ACT_PACK_EXTRA = 16
 
 # v5e: (8,128) vreg x 4 ALUs x 0.94 GHz
@@ -84,14 +87,18 @@ MEASURED_OP_RATES = {  # element-ops/s; ops accounted per cost-model units
 # Per-grid-step op-class counts for the PACKED u8 C-numerics kernel at
 # W_act == W_sm == W (the 1080p luma case), in [g, W]-slab units —
 # derived from ops/pallas_kernel._kernel:
-#   rolls: 6 tap rolls (pair-carry: only the new row) + 4 hbox-tree rolls
-#          x 5 packed slabs = 26 (plus 12 on 1/16-width edge slabs)
+#   rolls: 6 tap rolls (pair-carry: only the new row) + 3 hbox rolls
+#          (_HBOX_SUB3 cumulative-sub bulk; was the 4-roll tree, A/B
+#          +5.2%/+5.6%, results/hbox3_ab_r03.txt) x 5 packed slabs = 21
+#          (plus 12 on 1/16-width edge slabs).  3 is the floor: 2 rolls
+#          cover at most 4 offsets, and SUB3's dedup term is the
+#          UNROTATED line so the removal costs no roll.
 #   adds:  2 calc add/sub x2 + avg 2 + vertical 2x5 + hbox 4x5 + abs 9 sub
 #   etc.  Used to PREDICT step time from MEASURED_OP_RATES; the predicted
 #   vs measured step time is the calibration check (explains ~85% of the
 #   measured 1080p step, results/vpu_calibration_r03.txt).
 STEP_OP_CLASSES_PACKED_U8 = {
-    "roll": 26 + 12 / 16,
+    "roll": 21 + 12 / 16,
     "add": 9 + 4 + 2 + 10 + 20,     # abs-subs, calc, avg, vertical, hbox
     "mul": 4,                        # 2 calc x 2 muls
     "min": 8 + 1,                    # finalize min tree + abs via min-ish

@@ -88,6 +88,18 @@ def test_pallas_float_rolled_hbox_wide(rng, monkeypatch):
     _run("GRAYS", 500, 24, rng, order=1, aa=48, aac=48)
 
 
+def test_pallas_hbox_tree_arm(rng, monkeypatch):
+    """The 4-roll rotate-tree integer hbox bulk (the _HBOX_SUB3=False A/B
+    arm, superseded by the 3-roll cumulative-sub form at +5.2%/+5.6%,
+    results/hbox3_ab_r03.txt) stays bit-exact, keeping the hook honest.
+    Wide u8 + u16 planes so the bulk path (S_pad >= 384) actually runs."""
+    import sangnom_tpu.ops.pallas_kernel as pk
+
+    monkeypatch.setattr(pk, "_HBOX_SUB3", False)
+    _run("GRAY8", 500, 24, rng, order=1, aa=48, aac=48)
+    _run("GRAY16", 500, 16, rng, order=1, aa=48, aac=48)
+
+
 def test_pallas_reduced_width_tiers(rng):
     """Subsampled chroma with a large luma stride exercises the kernel's
     width reduction with all three tiers DISTINCT (W_act < W_sm < S_pad):
