@@ -39,6 +39,14 @@ from sangnom_tpu.utils.profiling import stage_scope
 
 Offset = Union[int, jax.Array]
 
+# Trace-time A/B hook: the in-kernel weave for FLOAT formats.  Rejected
+# round 2 (-18%: 4-byte rows double the output DMA with no narrow-dtype
+# win) but the kernel changed underneath that number (3-roll hbox,
+# batch-120/cap-256 chunking); the round-3 re-probe measured +24.2% at
+# full batch, bit-identical (results/floatweave_ab_r03.txt) — ON.  The
+# halved-batch-DMA variant was only +2.3% and stays off.
+_FLOAT_WEAVE = True
+
 
 def _pick_backend(opt: int) -> Callable:
     """Returns the batched interpolation kernel for the requested backend."""
@@ -108,12 +116,15 @@ def deinterlace_plane_batch(
     # duplication) directly from the kernel, skipping the XLA interleave
     # below.  Static offsets only; plane_width None excludes the shard_map
     # wrappers (local arrays are stride-padded there and the weave runs
-    # outside the shard).  Integer formats only: interleaved drift-
-    # cancelling A/B on v5e measured +7% (1080p u8 B64), +8% (1080p u16
-    # dh), +15% (480p u8) — but -18% for f32 444 (4-byte rows double the
-    # output DMA with no narrow-dtype win), so float keeps the XLA weave.
+    # outside the shard).  Interleaved drift-cancelling A/B on v5e
+    # measured +7% (1080p u8 B64), +8% (1080p u16 dh), +15% (480p u8),
+    # and — round 3, after the 3-roll hbox + chunk-batch work — +24.2%
+    # for f32 444 (results/floatweave_ab_r03.txt), so float now takes
+    # the weave too (_FLOAT_WEAVE).
     fused_weave = getattr(interp_fn, "fused_weave", None)
-    weave_ok = fused_weave is not None and bufH >= 2 and not spec.is_float
+    weave_ok = fused_weave is not None and bufH >= 2 and (
+        not spec.is_float or _FLOAT_WEAVE
+    )
     sharded_weave = getattr(fused_weave, "sharded", False)
     if weave_ok and plane_width is None and not sharded_weave:
         # Per-frame offsets ride the same kernel with the offsets read as

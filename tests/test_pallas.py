@@ -5,6 +5,7 @@ compile) — the race/OOB detector for block indexing per SURVEY.md §5; real
 TPU execution is exercised by bench.py and the driver's compile check.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -86,6 +87,38 @@ def test_pallas_float_rolled_hbox_wide(rng, monkeypatch):
 
     monkeypatch.setattr(pk, "_FLOAT_HBOX_ROLLED", True)
     _run("GRAYS", 500, 24, rng, order=1, aa=48, aac=48)
+
+
+def test_pallas_float_weave_dispatch(rng, monkeypatch):
+    """Float formats take the in-kernel weave (round 3: the round-2 -18%
+    rejection reversed at +24.2% after the 3-roll hbox + chunk-batch work,
+    results/floatweave_ab_r03.txt).  Pins the dispatch — the XLA-side
+    weave_assemble must NOT run for a float opt=1 single-device call —
+    and keeps the _FLOAT_WEAVE=False A/B arm bit-exact."""
+    import sangnom_tpu.ops.sangnom as sg
+
+    calls = []
+    real = sg.weave_assemble
+    monkeypatch.setattr(
+        sg, "weave_assemble", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+    fmt = get_format("YUV444PS")
+    planes = [
+        np.stack([make_planes(rng, 40, 16, get_format("GRAYS"))[0]
+                  for _ in range(2)])
+        for _ in range(3)
+    ]
+    clip = Clip.from_numpy(planes, fmt)
+    out_w = sangnom2(clip, order=2, aa=48, aac=48, opt=1)
+    assert not calls, "float opt=1 fell back to the XLA weave"
+    monkeypatch.setattr(sg, "_FLOAT_WEAVE", False)
+    jax.clear_caches()  # the flag is read at trace time; drop the cached jit
+    out_x = sangnom2(clip, order=2, aa=48, aac=48, opt=1)
+    assert calls, "_FLOAT_WEAVE=False arm did not use the XLA weave"
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(out_w.planes[i]), np.asarray(out_x.planes[i])
+        )
 
 
 def test_pallas_hbox_tree_arm(rng, monkeypatch):
