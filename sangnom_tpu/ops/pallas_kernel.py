@@ -512,6 +512,19 @@ def _decay_hops(mask: int) -> int:
     return k
 
 
+def creep_bound(w: int, bufH: int, spec: KernelSpec | None) -> int:
+    """Rightmost column (exclusive) the smoothing recursion can observably
+    reach: w + 3 cols/row of recursion creep (+3 hbox taps), tightened by
+    the integer decay bound (+6: the last computed columns clamp onto a
+    provably-zero column).  Bit-exactness-critical — _width_tiers and the
+    sharded pre-padding (parallel/sharding._sharded_pad_width) MUST use
+    the same bound, so both call this one helper."""
+    creep = w + 3 * bufH + 3
+    if _DECAY_BOUND and spec is not None and not spec.is_float:
+        creep = min(creep, w + 3 * _decay_hops(spec.mask) + 6)
+    return creep
+
+
 def _width_tiers(
     w: int, bufH: int, S: int, spec: KernelSpec | None = None
 ) -> tuple[int, int, int]:
@@ -535,10 +548,7 @@ def _width_tiers(
     """
     S_pad = max(_round_up(S, 128), 128)
     W_act = min(S_pad, max(_round_up(w + 3, 128), 128))
-    creep = w + 3 * bufH + 3
-    if _DECAY_BOUND and spec is not None and not spec.is_float:
-        creep = min(creep, w + 3 * _decay_hops(spec.mask) + 6)
-    W_sm = min(S_pad, max(_round_up(creep, 128), W_act))
+    W_sm = min(S_pad, max(_round_up(creep_bound(w, bufH, spec), 128), W_act))
     return W_act, W_sm, min(S, W_sm)
 
 

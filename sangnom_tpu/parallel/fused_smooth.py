@@ -419,6 +419,18 @@ def deinterlace_fused_full(
     )
 
 
+def _fused_batch(W_ext: int, n_sm: int) -> int:
+    """Frames per fused-kernel invocation (the sharded analogue of
+    ops.pallas_kernel._kernel_batch): 28 MiB budget over the per-frame
+    persistent VMEM set — sm + raw scratch, sm0 input view and smout
+    output (all [n_sm, g, W_ext] i32/f32), the 18-slab pair carry, and
+    the prev/out storage rows — leaving the rest of the 64 MiB window
+    for kernel-body temporaries (which also scale with g)."""
+    per_frame = 4 * W_ext * (4 * n_sm + 18 + 2)
+    g = (28 * 1024 * 1024) // per_frame
+    return int(max(8, min(256, (g // 8) * 8)))
+
+
 def _fused_full(
     kept: jnp.ndarray, aaf, spec: KernelSpec, axis_name: str,
     plane_width: int | None, chunk_rows: int,
@@ -454,6 +466,28 @@ def _fused_full(
     HALO = 3 * R + 6
     W_ext = max(_round_up(W_loc + 2 * HALO, 128), 128)
     pad_r = W_ext - W_loc - 2 * HALO
+
+    # Frame-batch chunking: every VMEM carry/block below scales linearly
+    # with the frame batch ([n_sm, N, W_ext] x4 + the 18-slab pair carry),
+    # so a production-sized local batch (headline B=120 at 1080p) would
+    # blow the 64 MB scoped-VMEM window that the single-chip path avoids
+    # via _kernel_batch.  Same 28 MB carry budget here, counting this
+    # kernel's larger persistent set (sm+raw scratch, sm0 in, smout out,
+    # pair, prev/out rows); <= 2 distinct chunk shapes -> <= 2 compiles.
+    g_max = _fused_batch(W_ext, n_sm)
+    if N > g_max:
+        n_fr = -(-N // g_max)
+        per = -(-N // n_fr)
+        outs = []
+        for c in range(n_fr):
+            sl = slice(c * per, min(N, (c + 1) * per))
+            off_c = (offsets[sl] if offsets is not None
+                     and not isinstance(offsets, int) else offsets)
+            outs.append(_fused_full(
+                kept[sl], aaf, spec, axis_name, plane_width, chunk_rows,
+                weave_offset, off_c,
+            ))
+        return jnp.concatenate(outs, axis=0)
 
     # one whole-field exchange in the storage dtype; right slack is
     # edge-replicated (outside the cone; keeps the rightmost shard's

@@ -58,14 +58,12 @@ def _sharded_pad_width(
     the globally padded array the shards divide, instead of always padding
     to the full stride — at 1080p 4:2:0 this halves the sharded chroma
     compute and every chroma halo exchange."""
-    from sangnom_tpu.ops.pallas_kernel import _DECAY_BOUND, _decay_hops
+    from sangnom_tpu.ops.pallas_kernel import creep_bound
     from sangnom_tpu.ops.primitives import KernelSpec
 
     spec = KernelSpec.from_format(fmt)
     bufH = h_i if dh else h_i // 2
-    creep = w_i + 3 * bufH + 3
-    if _DECAY_BOUND and not spec.is_float:
-        creep = min(creep, w_i + 3 * _decay_hops(spec.mask) + 6)
+    creep = creep_bound(w_i, bufH, spec)
     s_eff = min(stride, -(-creep // n_space) * n_space)
     # keep shards at least as wide as the full-stride case would allow the
     # fused kernel (or, for narrow strides, no narrower than stride/n)
@@ -241,8 +239,14 @@ def sangnom2_sharded(
                 smooth = "fused"
             else:
                 smooth = "fused" if jax.default_backend() == "tpu" else "scan"
-    else:
-        smooth = None
+    elif smooth is not None:
+        # smooth selects among WIDTH-sharded smoothing backends; silently
+        # ignoring it on a data-only mesh would let an A/B harness measure
+        # the wrong arm
+        raise ValueError(
+            f"smooth={smooth!r} requires space_axis (width sharding); "
+            "data-parallel shards run the per-shard backend picked by opt."
+        )
     out_planes = _sharded_jit(
         planes, parity, mesh=mesh, fmt=fmt, order=order, aa=aa, aac=aac,
         dh=dh, luma=luma, chroma=chroma, opt=opt, numerics=numerics,

@@ -53,7 +53,8 @@ from sangnom_tpu.ops.pallas_kernel import _width_tiers
 from sangnom_tpu.ops.primitives import KernelSpec
 
 OPS_PER_COL_ACT = 105
-OPS_PER_COL_SM = 99       # integer (3-roll hbox); float paths are 108
+OPS_PER_COL_SM = 99       # integer (3-roll cumulative-sub hbox)
+OPS_PER_COL_SM_FLOAT = 108  # float keeps the 4-roll exact association
 # packed u8 smoothing (pallas_kernel._packed_smoothing)
 OPS_PER_COL_SM_PACKED = 55
 OPS_PER_COL_ACT_PACK_EXTRA = 16
@@ -128,7 +129,8 @@ def kernel_ops_per_frame(fmt: VideoFormat, width: int, height: int,
         per_act = OPS_PER_COL_ACT + OPS_PER_COL_ACT_PACK_EXTRA
         per_sm = OPS_PER_COL_SM_PACKED
     else:
-        per_act, per_sm = OPS_PER_COL_ACT, OPS_PER_COL_SM
+        per_act = OPS_PER_COL_ACT
+        per_sm = OPS_PER_COL_SM_FLOAT if spec.is_float else OPS_PER_COL_SM
     process = [luma, chroma, chroma]
     total = 0
     for i in range(min(fmt.num_planes, 3)):

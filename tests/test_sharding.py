@@ -132,6 +132,28 @@ def test_width_sharded_fully_fused_u16_and_float(rng):
         _assert_clips_equal(got, want)
 
 
+def test_width_sharded_fused_frame_chunking(rng, monkeypatch):
+    """The fused sharded kernel chunks its FRAME batch (its VMEM carries
+    scale with N; production batches would otherwise blow the 64 MiB
+    scoped-VMEM window).  Pin the chunk split by forcing a tiny batch
+    cap: N=5 over g=2 -> 3 kernel shapes-worth of slices, uneven tail,
+    per-frame offsets sliced along — bit-exact vs the unsharded
+    reference, weave and no-weave arms."""
+    import sangnom_tpu.parallel.fused_smooth as fs
+
+    monkeypatch.setattr(fs, "_fused_batch", lambda W_ext, n_sm: 2)
+    parity = np.array([True, False, True, False, False])
+    clip = _clip(rng, "YUV420P8", 64, 16, n=5, parity=parity)
+    mesh = default_mesh(data=1, space=4)
+    want = sangnom2(clip, opt=0, order=0, dh=True, aa=48, aac=48)
+    got = sangnom2_sharded(
+        clip, mesh, order=0, dh=True, aa=48, aac=48, space_axis="space",
+        opt=1,
+    )
+    _assert_clips_equal(got, want)
+    jax.clear_caches()  # drop jits traced with the patched batch cap
+
+
 def test_width_sharded_sse2_numerics(rng):
     """The reference's SSE2 numerics contract through the sharded surface
     (round 3: sangnom2_sharded grows the ``numerics`` axis; the shared
@@ -147,6 +169,15 @@ def test_width_sharded_sse2_numerics(rng):
         _assert_clips_equal(got, want)
     with pytest.raises(Exception, match="numerics"):
         sangnom2_sharded(clip, mesh, numerics="bogus")
+
+
+def test_smooth_requires_space_axis(rng):
+    """smooth= names a width-sharded backend; a data-only mesh must reject
+    it rather than silently running the per-shard default."""
+    clip = _clip(rng, "GRAY8", 32, 16, n=2)
+    mesh = default_mesh(data=8)
+    with pytest.raises(ValueError, match="requires space_axis"):
+        sangnom2_sharded(clip, mesh, order=1, smooth="scan")
 
 
 def test_width_sharded_smooth_chunked_variant(rng):
