@@ -479,10 +479,19 @@ def _kernel_batch(W_sm: int, W_act: int, spec: KernelSpec) -> int:
     compiling + running on hardware); wider planes scale down (u8 4K: 64)
     and clamp to the 8-sublane tile.
     """
-    budget = 28 * 1024 * 1024
     n_sm = 5 if _packed_smoothing(spec) else 9
     per_frame = 4 * (2 * n_sm * W_sm + 18 * W_act)  # sm+raw / pair carries
-    g = budget // per_frame
+    return _batch_clamp(per_frame)
+
+
+def _batch_clamp(per_frame_bytes: int) -> int:
+    """Shared frame-batch clamp: 28 MiB persistent-carry budget within the
+    64 MiB scoped-VMEM window, the _CHUNK_CAP A/B hook (read at call time
+    so cap sweeps hit every path), 8-sublane rounding.  Used by
+    _kernel_batch above and the sharded analogues in
+    parallel/fused_smooth so a cap/budget sweep cannot silently measure a
+    stale sharded arm."""
+    g = (28 * 1024 * 1024) // per_frame_bytes
     return int(max(8, min(_CHUNK_CAP, (g // 8) * 8)))
 
 

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sangnom_tpu.ops.pallas_kernel import (
+    _batch_clamp,
     _finalize,
     _pack_maps,
     _packed_smoothing,
@@ -149,65 +150,92 @@ def smooth_sharded_chunked(
     W_ext = max(_round_up(W_loc + 2 * HK, 128), 128)
     pad_r = W_ext - (W_loc + 2 * HK)  # slack on the right, edge-replicated
 
-    C = nine * N  # maps x frames: independent rows for the smoothing pass
-    rawx = _exchange_halo(raw.reshape(C, bufHp1, W_loc), HK, axis_name)
+    # maps x frames flatten to independent rows for the smoothing pass;
+    # ONE whole-field halo exchange on the full batch (sub-batches below
+    # slice the exchanged array)
+    rawx = _exchange_halo(raw.reshape(nine * N, bufHp1, W_loc), HK,
+                          axis_name)
     rawx = jnp.pad(rawx, ((0, 0), (0, 0), (0, pad_r)), mode="edge")
 
-    n_chunks = -(-n_steps // R)
-    pad_rows = n_chunks * R + 1 - bufH  # raw rows 1..bufH feed the steps
-    rawx = jnp.pad(rawx[:, 1:], ((0, 0), (0, pad_rows), (0, 0)))
-    # [n_chunks, R+1, C, W_ext]: chunk c covers steps c*R..c*R+R-1, reading
-    # raw rows (1+)c*R + t and + t+1 — overlapping row windows
-    chunks = jnp.stack(
-        [
-            jnp.moveaxis(rawx[:, c * R : c * R + R + 1], 0, 1)
-            for c in range(n_chunks)
-        ]
-    )
+    def _run(rawx_c: jnp.ndarray, Nc: int) -> jnp.ndarray:
+        C = nine * Nc
+        n_chunks = -(-n_steps // R)
+        pad_rows = n_chunks * R + 1 - bufH  # raw rows 1..bufH feed steps
+        rx = jnp.pad(rawx_c[:, 1:], ((0, 0), (0, pad_rows), (0, 0)))
+        # [n_chunks, R+1, C, W_ext]: chunk c covers steps c*R..c*R+R-1,
+        # reading raw rows (1+)c*R + t and + t+1 — overlapping row windows
+        chunks = jnp.stack(
+            [
+                jnp.moveaxis(rx[:, c * R : c * R + R + 1], 0, 1)
+                for c in range(n_chunks)
+            ]
+        )
 
-    n_sh = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
-    flags = jnp.stack(
-        [(idx == 0).astype(jnp.int32), (idx == n_sh - 1).astype(jnp.int32)]
-    )
+        n_sh = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        flags = jnp.stack(
+            [(idx == 0).astype(jnp.int32),
+             (idx == n_sh - 1).astype(jnp.int32)]
+        )
 
-    kernel = functools.partial(_smooth_kernel, spec=spec, HK=HK, W_loc=W_loc,
-                               packed=packed)
-    row_view = lambda o: pl.BlockSpec(  # noqa: E731
-        (1, C, W_ext), lambda t, o=o: (t + o, 0, 0), memory_space=pltpu.VMEM
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid=(R,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((C, W_ext), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            row_view(0),
-            row_view(1),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, C, W_ext), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((R, C, W_ext), raw.dtype),
-        scratch_shapes=[pltpu.VMEM((C, W_ext), spec.acc_dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )
+        kernel = functools.partial(_smooth_kernel, spec=spec, HK=HK,
+                                   W_loc=W_loc, packed=packed)
+        row_view = lambda o: pl.BlockSpec(  # noqa: E731
+            (1, C, W_ext), lambda t, o=o: (t + o, 0, 0),
+            memory_space=pltpu.VMEM
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid=(R,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((C, W_ext), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                row_view(0),
+                row_view(1),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, C, W_ext), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((R, C, W_ext), raw.dtype),
+            scratch_shapes=[pltpu.VMEM((C, W_ext), spec.acc_dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )
 
-    def chunk_step(sm_local, raw_chunk):
-        # ONE collective per R rows: the carried row's (3R+3)-col halo
-        smx = _exchange_halo(sm_local, HK, axis_name)
-        smx = jnp.pad(smx, ((0, 0), (0, pad_r)), mode="edge")
-        out = call(flags, smx, raw_chunk, raw_chunk)  # [R, C, W_ext]
-        sm_next = out[-1, :, HK : HK + W_loc]
-        return sm_next, out[:, :, HK : HK + W_loc]
+        def chunk_step(sm_local, raw_chunk):
+            # ONE collective per R rows: the carried row's (3R+3)-col halo
+            smx = _exchange_halo(sm_local, HK, axis_name)
+            smx = jnp.pad(smx, ((0, 0), (0, pad_r)), mode="edge")
+            out = call(flags, smx, raw_chunk, raw_chunk)  # [R, C, W_ext]
+            sm_next = out[-1, :, HK : HK + W_loc]
+            return sm_next, out[:, :, HK : HK + W_loc]
 
-    sm0 = jnp.zeros((C, W_loc), raw.dtype)  # smoothed "row 0" seed
-    _, sm = jax.lax.scan(chunk_step, sm0, chunks)  # [n_chunks, R, C, W_loc]
-    sm = sm.reshape(n_chunks * R, nine, N, W_loc)[:n_steps]
+        sm0 = jnp.zeros((C, W_loc), raw.dtype)  # smoothed "row 0" seed
+        _, sm = jax.lax.scan(chunk_step, sm0, chunks)
+        return sm.reshape(n_chunks * R, nine, Nc, W_loc)[:n_steps]
+
+    # Frame-batch bound: the kernel's persistent VMEM set (smx in-block,
+    # row views, out block, scratch — all [C, W_ext] i32/f32 with
+    # C = nine*N) scales linearly with the frame batch; same shared clamp
+    # as the fused paths (ops.pallas_kernel._batch_clamp).
+    g_max = _batch_clamp(4 * W_ext * nine * 6)
+    if N <= g_max:
+        sm = _run(rawx, N)
+    else:
+        rawv = rawx.reshape(nine, N, bufHp1, W_ext)
+        n_fr = -(-N // g_max)
+        per = -(-N // n_fr)
+        outs = []
+        for c in range(n_fr):
+            sl = slice(c * per, min(N, (c + 1) * per))
+            Nc = sl.stop - sl.start
+            outs.append(
+                _run(rawv[:, sl].reshape(nine * Nc, bufHp1, W_ext), Nc)
+            )
+        sm = jnp.concatenate(outs, axis=2)
     if packed:
         sm = jnp.stack(_unpack_sm(sm.swapaxes(0, 1))).swapaxes(0, 1)
     return sm
@@ -427,14 +455,13 @@ def _fused_batch(W_ext: int, n_sm: int) -> int:
     the prev/out storage rows — leaving the rest of the 64 MiB window
     for kernel-body temporaries (which also scale with g)."""
     per_frame = 4 * W_ext * (4 * n_sm + 18 + 2)
-    g = (28 * 1024 * 1024) // per_frame
-    return int(max(8, min(256, (g // 8) * 8)))
+    return _batch_clamp(per_frame)
 
 
 def _fused_full(
     kept: jnp.ndarray, aaf, spec: KernelSpec, axis_name: str,
     plane_width: int | None, chunk_rows: int,
-    weave_offset=None, offsets=None,
+    weave_offset=None, offsets=None, _keptx=None,
 ) -> jnp.ndarray:
     from sangnom_tpu.parallel.width_sharded import _exchange_halo
 
@@ -467,13 +494,25 @@ def _fused_full(
     W_ext = max(_round_up(W_loc + 2 * HALO, 128), 128)
     pad_r = W_ext - W_loc - 2 * HALO
 
+    # one whole-field exchange in the storage dtype; right slack is
+    # edge-replicated (outside the cone; keeps the rightmost shard's
+    # replication consistent)
+    if _keptx is None:
+        keptx = _exchange_halo(kept, HALO, axis_name)
+        keptx = jnp.pad(keptx, ((0, 0), (0, 0), (0, pad_r)), mode="edge")
+    else:
+        keptx = _keptx  # recursion below: already exchanged, frame-sliced
+
     # Frame-batch chunking: every VMEM carry/block below scales linearly
     # with the frame batch ([n_sm, N, W_ext] x4 + the 18-slab pair carry),
     # so a production-sized local batch (headline B=120 at 1080p) would
     # blow the 64 MB scoped-VMEM window that the single-chip path avoids
-    # via _kernel_batch.  Same 28 MB carry budget here, counting this
-    # kernel's larger persistent set (sm+raw scratch, sm0 in, smout out,
-    # pair, prev/out rows); <= 2 distinct chunk shapes -> <= 2 compiles.
+    # via _kernel_batch.  Same shared clamp (28 MiB budget + _CHUNK_CAP),
+    # counting this kernel's larger persistent set (sm+raw scratch, sm0
+    # in, smout out, pair, prev/out rows); <= 2 distinct chunk shapes ->
+    # <= 2 compiles.  The halo exchange above runs ONCE on the full batch
+    # (same total bytes; one ppermute per plane, not one per sub-batch) —
+    # sub-batches slice the exchanged array, geometry is N-independent.
     g_max = _fused_batch(W_ext, n_sm)
     if N > g_max:
         n_fr = -(-N // g_max)
@@ -485,15 +524,10 @@ def _fused_full(
                      and not isinstance(offsets, int) else offsets)
             outs.append(_fused_full(
                 kept[sl], aaf, spec, axis_name, plane_width, chunk_rows,
-                weave_offset, off_c,
+                weave_offset, off_c, _keptx=keptx[sl],
             ))
         return jnp.concatenate(outs, axis=0)
 
-    # one whole-field exchange in the storage dtype; right slack is
-    # edge-replicated (outside the cone; keeps the rightmost shard's
-    # replication consistent)
-    keptx = _exchange_halo(kept, HALO, axis_name)
-    keptx = jnp.pad(keptx, ((0, 0), (0, 0), (0, pad_r)), mode="edge")
     n_chunks = -(-n_tot // R)
     keptx = jnp.pad(keptx, ((0, 0), (0, n_chunks * R + 2 - bufH), (0, 0)))
     rows = jnp.moveaxis(keptx, 1, 0)  # [rows, N, W_ext]

@@ -20,15 +20,20 @@ sub+abs (2), `avg_pair` is add+add+shift+and (4):
                                        over 9 maps (2 ops each) = 18+18+2
   vertical 3-sum (W_sm)          18    2 adds x 9 maps
   hbox7 3-roll cum-sub (W_sm)    63    (3 rot + 4 add/sub) x 9 maps
-                                       (integer paths, _HBOX_SUB3; the
-                                       float path keeps the 4-roll exact
-                                       association = 72)
-  smooth writeback (W_sm)        18    (shift + and) x 9 maps
+                                       (integer paths, _HBOX_SUB3; FLOAT
+                                       runs the clamped-exact form
+                                       _hbox7_exact — reference fp tap
+                                       association, _FLOAT_HBOX_ROLLED
+                                       off: 6 clamped taps x3 + 6 adds
+                                       = 24/map = 216)
+  smooth writeback (W_sm)        18    (shift + and) x 9 maps (float:
+                                       one mul x 9 = 9)
   finalize (W_act)               38    8-op min tree + 7x(eq+2 sel) +
                                        vert eq/cmp/or + 2 sel + avg_pair
   output cast (W_act)             1
   -----------------------------------------------------------------------
-  total: 105/col on W_act + 99/col on W_sm per step (int; float 108)
+  total: 105/col on W_act + 99/col on W_sm per step (int;
+  float 18+216+9 = 243 on W_sm)
 
 u8 C-numerics runs the PACKED smoothing (pallas_kernel._packed_smoothing:
 two maps per i32 lane, 5 slabs instead of 9): the three W_sm stages scale
@@ -54,7 +59,10 @@ from sangnom_tpu.ops.primitives import KernelSpec
 
 OPS_PER_COL_ACT = 105
 OPS_PER_COL_SM = 99       # integer (3-roll cumulative-sub hbox)
-OPS_PER_COL_SM_FLOAT = 108  # float keeps the 4-roll exact association
+# float runs the clamped-exact hbox (_hbox7_exact: the reference's fp tap
+# association; the rolled/tree forms reassociate and are integer-only or
+# A/B-rejected): 18 vertical + 216 hbox + 9 mul writeback
+OPS_PER_COL_SM_FLOAT = 243
 # packed u8 smoothing (pallas_kernel._packed_smoothing)
 OPS_PER_COL_SM_PACKED = 55
 OPS_PER_COL_ACT_PACK_EXTRA = 16

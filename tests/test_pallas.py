@@ -119,6 +119,7 @@ def test_pallas_float_weave_dispatch(rng, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(out_w.planes[i]), np.asarray(out_x.planes[i])
         )
+    jax.clear_caches()  # drop the no-weave trace keyed like the default
 
 
 def test_pallas_hbox_tree_arm(rng, monkeypatch):

@@ -154,6 +154,22 @@ def test_width_sharded_fused_frame_chunking(rng, monkeypatch):
     jax.clear_caches()  # drop jits traced with the patched batch cap
 
 
+def test_width_sharded_chunked_frame_chunking(rng, monkeypatch):
+    """The chunked-smoothing backend bounds its frame batch too (its
+    [C, W_ext] VMEM set scales with C = nine*N): force a tiny clamp so
+    N=5 splits, bit-exact vs the unsharded reference."""
+    import sangnom_tpu.parallel.fused_smooth as fs
+
+    monkeypatch.setattr(fs, "_batch_clamp", lambda per_frame_bytes: 2)
+    clip = _clip(rng, "YUV420P8", 64, 16, n=5)
+    mesh = default_mesh(data=1, space=4)
+    want = sangnom2(clip, opt=0, order=1, aac=48)
+    got = sangnom2_sharded(clip, mesh, order=1, aac=48,
+                           space_axis="space", smooth="chunked")
+    _assert_clips_equal(got, want)
+    jax.clear_caches()  # drop jits traced with the patched clamp
+
+
 def test_width_sharded_sse2_numerics(rng):
     """The reference's SSE2 numerics contract through the sharded surface
     (round 3: sangnom2_sharded grows the ``numerics`` axis; the shared
