@@ -333,6 +333,11 @@ def main() -> None:
         "batch": B,
         "configs": configs,
     }))
+    if any(c["parity"] != "ok" for c in configs.values()):
+        # same contract as the headline gate: a parity failure anywhere
+        # fails the run (the JSON above still records which config),
+        # so scripted callers gating on $? cannot record broken numbers
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -64,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream in windows of N frames (bounded memory for "
                    "long inputs; default: whole clip at once)")
     p.add_argument("--fps", default=None,
-                   help="output framerate N:D (default: input stream's)")
+                   help="output framerate N:D (default: input stream's, "
+                   "doubled under --bob)")
     p.add_argument("--version", action="version",
                    version=f"sangnom-tpu {__version__}")
     return p
@@ -88,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     try:
+        if args.legacy and args.bob:
+            # --bob would silently run the SangNom2 surface and drop
+            # --legacy; SangNom2-only knobs (--dh/--aac/--no-chroma) are
+            # instead IGNORED under --legacy, matching the legacy
+            # surface's documented parameter set (pinned by
+            # tests/test_io_cli.py)
+            raise ValueError(
+                "--legacy cannot be combined with --bob (bob runs the "
+                "SangNom2 surface; use --legacy --order 0 for per-frame "
+                "parity)"
+            )
         if args.fps is not None:
             num, den = (int(x) for x in args.fps.split(":"))
             if den <= 0 or num <= 0:
@@ -101,8 +113,10 @@ def main(argv: list[str] | None = None) -> int:
         out = _filter_one(_override_tff(clip, args), args)
         if fps is None:
             fps = clip.props.get("y4m_fps", (25, 1))
-        if args.bob:
-            fps = (fps[0] * 2, fps[1])  # double-rate output
+            if args.bob:
+                # double-rate output; an EXPLICIT --fps is already the
+                # output rate (its documented meaning) and stays as-is
+                fps = (fps[0] * 2, fps[1])
         write_y4m(dst, out, fps=fps,
                   interlace=_out_interlace(args, clip.num_planes, clip.props))
     except (SangNomError, ValueError, OSError) as e:
@@ -211,9 +225,13 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
         return out
 
     def emit(out_clip, in_props):
-        f = fps or in_props.get("y4m_fps", (25, 1))
-        if args.bob:
-            f = (f[0] * 2, f[1])
+        f = fps
+        if f is None:
+            f = in_props.get("y4m_fps", (25, 1))
+            if args.bob:
+                # explicit --fps is the OUTPUT rate; only the
+                # input-derived rate doubles under --bob
+                f = (f[0] * 2, f[1])
         if state["fh"] is None:
             if isinstance(dst, (str, bytes)):
                 state["fh"], state["close"] = open(dst, "wb"), True

@@ -12,12 +12,7 @@ import numpy as np
 
 from sangnom_tpu.core.clip import Clip
 from sangnom_tpu.core.formats import VideoFormat, get_format
-
-
-def _open(f: Union[str, BinaryIO], mode: str):
-    if isinstance(f, (str, bytes)):
-        return open(f, mode), True
-    return f, False
+from sangnom_tpu.io.common import _open
 
 
 def frame_size_bytes(fmt: VideoFormat, width: int, height: int) -> int:

@@ -46,10 +46,7 @@ for _bits in (10, 12, 14, 16):
     _FORMAT_TO_COLORSPACE[f"GRAY{_bits}"] = f"monop{_bits}"
 
 
-def _open(f: Union[str, BinaryIO], mode: str):
-    if isinstance(f, (str, bytes)):
-        return open(f, mode), True
-    return f, False
+from sangnom_tpu.io.common import _open  # noqa: E402
 
 
 def _parse_header(fh) -> dict:

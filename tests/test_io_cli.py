@@ -299,6 +299,51 @@ def test_cli_pool_compat_bob_window_rejected(rng, tmp_path):
     assert "error:" in res.stderr
 
 
+def test_cli_explicit_fps_is_output_rate_under_bob(rng, tmp_path):
+    """--fps names the OUTPUT framerate (its documented meaning): an
+    explicit --fps must NOT be doubled by --bob; only the input-derived
+    default doubles.  Both whole-clip and windowed writers."""
+    import os
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy(
+        [np.zeros((2, 16, 32), np.uint8)], fmt), fps=(25, 1))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    for name, extra, want in [
+        ("e.y4m", ["--fps", "60000:1001"], b"F60000:1001"),
+        ("d.y4m", [], b"F50:1"),  # input 25:1 doubled
+        ("w.y4m", ["--fps", "60000:1001", "--window", "2"], b"F60000:1001"),
+    ]:
+        out = tmp_path / name
+        res = subprocess.run(
+            [sys.executable, "-m", "sangnom_tpu", str(src), str(out),
+             "--bob"] + extra,
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert res.returncode == 0, res.stderr
+        header = out.read_bytes().split(b"\n", 1)[0]
+        assert want in header, (name, header)
+
+
+def test_cli_legacy_bob_rejected(rng, tmp_path):
+    """--legacy --bob would silently run the SangNom2 surface; the CLI
+    rejects the combination (while --dh/--aac stay IGNORED under
+    --legacy per the legacy surface's parameter set, pinned above)."""
+    import os
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([np.zeros((2, 8, 16), np.uint8)],
+                                        fmt))
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src),
+         str(tmp_path / "o.y4m"), "--legacy", "--bob"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 2
+    assert "--legacy cannot be combined with --bob" in res.stderr
+
+
 def test_cli_bad_fps_clean_error(rng, tmp_path):
     import os
     fmt = get_format("GRAY8")

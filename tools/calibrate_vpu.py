@@ -145,10 +145,20 @@ def main():
             elems = (K2 - K1) * OPS_PER_ITER[kind] * STEPS * G * W
             best_rate = max(best_rate, elems / (t2 - t1))
         results[kind] = best_rate
+        if best_rate == 0.0:
+            # every rep measured t(K2) <= t(K1) — contention noise, not a
+            # rate; a silent 0.00 would poison the achievable denominator
+            print(f"  {kind:10s}: MEASUREMENT FAILED (all {reps} reps "
+                  f"non-monotonic; chip contended?) — rerun", flush=True)
+            continue
         print(f"  {kind:10s}: {best_rate/1e12:6.2f} Tops/s "
               f"({best_rate/nominal*100:5.1f}% of nominal peak)", flush=True)
 
     mix = results["mix"]
+    if mix == 0.0:
+        print("\nkernel-blend 'mix' measurement FAILED; no achievable "
+              "figure this run — rerun on a quieter chip.", flush=True)
+        sys.exit(1)
     print(f"\nkernel-blend achievable ('mix'): {mix/1e12:.2f} Tops/s = "
           f"{mix/nominal*100:.0f}% of nominal; the cost model's "
           f"'fraction of achievable' divides by this.", flush=True)

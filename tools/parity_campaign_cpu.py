@@ -114,3 +114,6 @@ for case in range(NC):
     if case % 20 == 19:
         print(f"compat {case+1}/{NC} done, {cfails} failures", flush=True)
 print(f"COMPAT CAMPAIGN DONE: {NC} configs, {cfails} failures")
+import sys  # noqa: E402
+
+sys.exit(1 if fails + cfails else 0)  # scripted callers gate on $?

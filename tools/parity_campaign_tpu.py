@@ -86,8 +86,13 @@ def compat_cases(n_cases: int, seed: int):
         )
         if not get_format(fname).is_float:
             kw["numerics"] = "sse2" if rng.integers(2) else "c"
-        if not kw["pool_compat"] and kw.get("numerics", "c") == "c":
-            kw["numerics"] = "sse2"  # every case exercises a compat axis
+            if not kw["pool_compat"] and kw["numerics"] == "c":
+                kw["numerics"] = "sse2"  # every case exercises a compat axis
+        elif not kw["pool_compat"]:
+            # float: numerics='sse2' is a documented no-op (primitives.py),
+            # so forcing it would burn the slot on a plain opt1-vs-opt0
+            # check AND drop the oracle anchor; take pool_compat instead
+            kw["pool_compat"] = True
         cases.append((fname, w, h, int(rng.integers(1, 3)), kw))
     return cases
 
@@ -141,50 +146,31 @@ def sharded_cases(n_cases: int, seed: int):
 
 CAMPAIGN = CASES
 MODE = "oracle"
-if "--sharded" in sys.argv:
-    i = sys.argv.index("--sharded")
+# one generator table instead of four copy-pasted argv blocks; every mode
+# shares the N/seed convention (default seed 20260817)
+_CAMPAIGN_MODES = {
+    "--sharded": (sharded_cases, "sharded",
+                  "sangnom2_sharded on a 1-device 'space' mesh vs "
+                  "unsharded opt=0 + oracle anchor"),
+    "--bob": (bob_cases, "bob",
+              "fused bob opt=1 vs explicit pipeline opt=0 + oracle anchor"),
+    "--compat": (compat_cases, "opt0", "opt=1 vs opt=0 on device"),
+    "--random": (random_cases, "oracle", "full random draw vs oracle"),
+}
+for _flag, (_gen, _mode, _banner) in _CAMPAIGN_MODES.items():
+    if _flag not in sys.argv:
+        continue
+    i = sys.argv.index(_flag)
     try:
         n_rand = int(sys.argv[i + 1])
     except (IndexError, ValueError):
-        sys.exit("usage: parity_campaign_tpu.py --sharded N [seed]")
+        sys.exit(f"usage: parity_campaign_tpu.py {_flag} N [seed]")
     seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 20260817
-    CAMPAIGN = sharded_cases(n_rand, seed)
-    MODE = "sharded"
-    print(f"sharded campaign: {n_rand} cases, seed {seed} "
-          f"(sangnom2_sharded on a 1-device 'space' mesh vs unsharded "
-          f"opt=0 + oracle anchor)", flush=True)
-elif "--bob" in sys.argv:
-    i = sys.argv.index("--bob")
-    try:
-        n_rand = int(sys.argv[i + 1])
-    except (IndexError, ValueError):
-        sys.exit("usage: parity_campaign_tpu.py --bob N [seed]")
-    seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 20260817
-    CAMPAIGN = bob_cases(n_rand, seed)
-    MODE = "bob"
-    print(f"bob campaign: {n_rand} cases, seed {seed} "
-          f"(fused bob opt=1 vs explicit pipeline opt=0 + oracle anchor)",
+    CAMPAIGN = _gen(n_rand, seed)
+    MODE = _mode
+    print(f"{_flag[2:]} campaign: {n_rand} cases, seed {seed} ({_banner})",
           flush=True)
-elif "--compat" in sys.argv:
-    i = sys.argv.index("--compat")
-    try:
-        n_rand = int(sys.argv[i + 1])
-    except (IndexError, ValueError):
-        sys.exit("usage: parity_campaign_tpu.py --compat N [seed]")
-    seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 20260817
-    CAMPAIGN = compat_cases(n_rand, seed)
-    MODE = "opt0"
-    print(f"compat-axis campaign: {n_rand} cases, seed {seed} "
-          f"(opt=1 vs opt=0 on device)", flush=True)
-elif "--random" in sys.argv:
-    i = sys.argv.index("--random")
-    try:
-        n_rand = int(sys.argv[i + 1])
-    except (IndexError, ValueError):
-        sys.exit("usage: parity_campaign_tpu.py --random N [seed]")
-    seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 20260817
-    CAMPAIGN = random_cases(n_rand, seed)
-    print(f"randomized campaign: {n_rand} cases, seed {seed}", flush=True)
+    break
 
 fails = 0
 for k, (fname, w, h, n, kw) in enumerate(CAMPAIGN):
@@ -312,3 +298,4 @@ for k, (fname, w, h, n, kw) in enumerate(CAMPAIGN):
     print(f"[{k+1}/{len(CAMPAIGN)}] {fname} {w}x{h} n={n} {kw}: {verdict}",
           flush=True)
 print(f"TPU CAMPAIGN DONE: {len(CAMPAIGN)} cases, {fails} failures")
+sys.exit(1 if fails else 0)  # scripted callers gate on $?

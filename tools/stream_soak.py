@@ -11,6 +11,7 @@ Passing ``bob`` as the third argument soaks the CLI's --bob double-rate
 path instead (round 3: the fused SeparateFields+filter single-jit bob;
 windowed output must stay byte-identical to whole-clip).
 """
+import filecmp
 import os
 import resource
 import subprocess
@@ -68,10 +69,12 @@ def main() -> int:
         rss = [ln for ln in r.stdout.splitlines() if "PEAK_RSS" in ln]
         print(f"{name}: {rss[0] if rss else '?'}  "
               f"({r.stderr.strip().splitlines()[-1]})")
-    a = open(outs["whole"], "rb").read()
-    b = open(outs["windowed"], "rb").read()
-    print(f"byte-identical: {a == b}  ({len(a)/1e6:.0f} MB output)")
-    return 0 if a == b else 1
+    # chunked compare: the soak exists to prove bounded memory, so don't
+    # hold both multi-GB outputs in RAM to check them
+    same = filecmp.cmp(outs["whole"], outs["windowed"], shallow=False)
+    size = os.path.getsize(outs["whole"])
+    print(f"byte-identical: {same}  ({size/1e6:.0f} MB output)")
+    return 0 if same else 1
 
 
 if __name__ == "__main__":

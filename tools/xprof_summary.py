@@ -28,17 +28,25 @@ def summarize_xplane(trace_dir: str, top: int = 18) -> None:
     if not files:
         print(f"  (no xplane under {trace_dir})")
         return
-    pd = ProfileData.from_file(files[0])
-    for plane in pd.planes:
-        if "TPU" not in plane.name:
-            continue
-        tot: dict[str, float] = defaultdict(float)
-        for line in plane.lines:
-            for ev in line.events:
-                tot[ev.name] += ev.duration_ns / 1e6
-        print(f"-- plane {plane.name}:")
-        for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"   {ms:9.2f} ms  {name[:110]}")
+    if len(files) > 1:
+        print(f"  ({len(files)} xplane files under {trace_dir}; "
+              f"summarizing all)")
+    matched = 0
+    for path in files:
+        pd = ProfileData.from_file(path)
+        for plane in pd.planes:
+            if "TPU" not in plane.name:
+                continue
+            matched += 1
+            tot: dict[str, float] = defaultdict(float)
+            for line in plane.lines:
+                for ev in line.events:
+                    tot[ev.name] += ev.duration_ns / 1e6
+            print(f"-- plane {plane.name}:")
+            for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+                print(f"   {ms:9.2f} ms  {name[:110]}")
+    if not matched:
+        print(f"  (no TPU plane in any of {len(files)} xplane files)")
 
 
 def main() -> None:
