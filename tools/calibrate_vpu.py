@@ -52,6 +52,23 @@ def _chain(kind: str, x, y, k: int):
             x, y = x + y, x                       # 1 op
         elif kind == "roll":
             x, y = pltpu.roll(x, 1, axis=x.ndim - 1) , x  # 1 op
+        elif kind == "roll3":
+            # same primitive, the kernel's largest static shift — does the
+            # issue cost depend on the shift amount?
+            x, y = pltpu.roll(x, 3, axis=x.ndim - 1), x
+        elif kind == "roll_sub":
+            # rotate along the SUBLANE axis instead of lanes: if this
+            # issues much faster, a transposed slab layout ([W, g] with
+            # the column shifts riding sublanes) could dethrone the
+            # lane-roll bound.
+            x, y = pltpu.roll(x, 1, axis=0), x
+        elif kind == "concat_rot":
+            # the same rotation spelled as static slices + concatenate —
+            # does Mosaic lower this cheaper than the roll primitive?
+            x, y = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1), x
+        elif kind == "jroll":
+            # jnp.roll spelling (sanity: should match pltpu.roll)
+            x, y = jnp.roll(x, 1, axis=x.ndim - 1), x
         elif kind == "where":
             # compare+select, the finalize stage's building block —
             # 2 cost-model ops
@@ -77,8 +94,9 @@ def _chain(kind: str, x, y, k: int):
 # cost-model ops per chain iteration (utils/cost_model.py accounting:
 # where = cmp+sel = 2, shift_and = 3, mix = roll+cmp+add+shift+and+add+sel
 # = 7, others = 1)
-OPS_PER_ITER = {"add": 1, "roll": 1, "where": 2, "shift_and": 3, "min": 1,
-                "mul": 1, "mix": 7}
+OPS_PER_ITER = {"add": 1, "roll": 1, "roll3": 1, "roll_sub": 1,
+                "concat_rot": 1, "jroll": 1, "where": 2, "shift_and": 3,
+                "min": 1, "mul": 1, "mix": 7}
 
 
 def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
@@ -135,16 +153,28 @@ def main():
     print(f"slab [{G}, {W}] i32, {STEPS} steps, differential K={K1}->{K2}; "
           f"nominal v5e VPU peak {nominal/1e12:.2f} Tops/s", flush=True)
     results = {}
-    for kind in ("add", "mul", "min", "roll", "shift_and", "where", "mix"):
+    kinds = ("add", "mul", "min", "roll", "shift_and", "where", "mix")
+    if len(sys.argv) > 2:  # explicit arm list, e.g. the rotate-form probe
+        kinds = tuple(sys.argv[2].split(","))
+    for kind in kinds:
         best_rate = 0.0
         for _ in range(reps):
-            t1 = _time(src, kind, K1)
-            t2 = _time(src, kind, K2)
+            try:
+                t1 = _time(src, kind, K1)
+                t2 = _time(src, kind, K2)
+            except Exception as e:  # noqa: BLE001 — probe arms may not lower
+                print(f"  {kind:10s}: DOES NOT COMPILE "
+                      f"({type(e).__name__}: {str(e).splitlines()[0][:120]})",
+                      flush=True)
+                best_rate = -1.0
+                break
             if t2 <= t1:
                 continue
             elems = (K2 - K1) * OPS_PER_ITER[kind] * STEPS * G * W
             best_rate = max(best_rate, elems / (t2 - t1))
         results[kind] = best_rate
+        if best_rate < 0.0:
+            continue  # compile failure already reported
         if best_rate == 0.0:
             # every rep measured t(K2) <= t(K1) — contention noise, not a
             # rate; a silent 0.00 would poison the achievable denominator
@@ -154,7 +184,9 @@ def main():
         print(f"  {kind:10s}: {best_rate/1e12:6.2f} Tops/s "
               f"({best_rate/nominal*100:5.1f}% of nominal peak)", flush=True)
 
-    mix = results["mix"]
+    mix = results.get("mix")
+    if mix is None:
+        return  # explicit arm list without the blend — rates only
     if mix == 0.0:
         print("\nkernel-blend 'mix' measurement FAILED; no achievable "
               "figure this run — rerun on a quieter chip.", flush=True)
