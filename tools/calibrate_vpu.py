@@ -19,8 +19,11 @@ regime the real kernel's dependent stages run in, and the correct
 denominator for "fraction of achievable" (the nominal 4-ALU peak assumes
 4 independent chains).
 
-Usage:  python tools/calibrate_vpu.py [reps]
-Writes one human-readable block; capture to results/.
+Usage:  python tools/calibrate_vpu.py [reps] [arm1,arm2,...]
+Each arm is an op kind, optionally "kind@width" to narrow the slab (the
+width axis answers whether an op's cost scales with vreg count — the
+input for any lane-packing arithmetic).  Default arms cover the kernel's
+op classes.  Writes one human-readable block; capture to results/.
 """
 
 from __future__ import annotations
@@ -112,31 +115,31 @@ def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
     out_ref[0] = x[:, :128]
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "k"))
-def _run(src, kind: str, k: int):
+@functools.partial(jax.jit, static_argnames=("kind", "k", "w"))
+def _run(src, kind: str, k: int, w: int = W):
     kern = functools.partial(_kernel, kind=kind, k=k)
     return pl.pallas_call(
         kern,
         grid=(STEPS,),
-        in_specs=[pl.BlockSpec((G, W), lambda t: (0, 0),
+        in_specs=[pl.BlockSpec((G, w), lambda t: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, G, 128), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((STEPS, G, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((G, W), jnp.int32),
-                        pltpu.VMEM((G, W), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((G, w), jnp.int32),
+                        pltpu.VMEM((G, w), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
-    )(src)
+    )(src[:, :w])
 
 
-def _time(src, kind, k, iters=3):
-    out = _run(src, kind, k)
+def _time(src, kind, k, iters=3, w=W):
+    out = _run(src, kind, k, w)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         # checksum-forced completion (block_until_ready unreliable on axon)
-        s = float(jnp.sum(_run(src, kind, k)[:, :, :1].astype(jnp.float32)))
+        s = float(jnp.sum(_run(src, kind, k, w)[:, :, :1].astype(jnp.float32)))
         best = min(best, time.perf_counter() - t0)
         del s
     return best
@@ -154,34 +157,36 @@ def main():
           f"nominal v5e VPU peak {nominal/1e12:.2f} Tops/s", flush=True)
     results = {}
     kinds = ("add", "mul", "min", "roll", "shift_and", "where", "mix")
-    if len(sys.argv) > 2:  # explicit arm list, e.g. the rotate-form probe
-        kinds = tuple(sys.argv[2].split(","))
-    for kind in kinds:
+    if len(sys.argv) > 2:  # explicit arm list, e.g. the rotate-form probe;
+        kinds = tuple(sys.argv[2].split(","))  # "kind@width" narrows the slab
+    for arm in kinds:
+        kind, _, wspec = arm.partition("@")
+        w = int(wspec) if wspec else W
         best_rate = 0.0
         for _ in range(reps):
             try:
-                t1 = _time(src, kind, K1)
-                t2 = _time(src, kind, K2)
+                t1 = _time(src, kind, K1, w=w)
+                t2 = _time(src, kind, K2, w=w)
             except Exception as e:  # noqa: BLE001 — probe arms may not lower
-                print(f"  {kind:10s}: DOES NOT COMPILE "
+                print(f"  {arm:10s}: DOES NOT COMPILE "
                       f"({type(e).__name__}: {str(e).splitlines()[0][:120]})",
                       flush=True)
                 best_rate = -1.0
                 break
             if t2 <= t1:
                 continue
-            elems = (K2 - K1) * OPS_PER_ITER[kind] * STEPS * G * W
+            elems = (K2 - K1) * OPS_PER_ITER[kind] * STEPS * G * w
             best_rate = max(best_rate, elems / (t2 - t1))
-        results[kind] = best_rate
+        results[arm] = best_rate
         if best_rate < 0.0:
             continue  # compile failure already reported
         if best_rate == 0.0:
             # every rep measured t(K2) <= t(K1) — contention noise, not a
             # rate; a silent 0.00 would poison the achievable denominator
-            print(f"  {kind:10s}: MEASUREMENT FAILED (all {reps} reps "
+            print(f"  {arm:10s}: MEASUREMENT FAILED (all {reps} reps "
                   f"non-monotonic; chip contended?) — rerun", flush=True)
             continue
-        print(f"  {kind:10s}: {best_rate/1e12:6.2f} Tops/s "
+        print(f"  {arm:10s}: {best_rate/1e12:6.2f} Tops/s "
               f"({best_rate/nominal*100:5.1f}% of nominal peak)", flush=True)
 
     mix = results.get("mix")
