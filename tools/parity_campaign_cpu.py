@@ -17,10 +17,14 @@ FMTS = ["GRAY8", "GRAY10", "GRAY12", "GRAY14", "GRAY16", "GRAYS",
         "YUV422PS", "YUV444P8", "YUV444P12", "YUV444PS",
         "YUVA420P8", "YUVA444P16"]
 
+import sys as _sys
+
+# usage: parity_campaign_cpu.py [n_random] [seed_base] [n_compat]
+N = int(_sys.argv[1]) if len(_sys.argv) > 1 else 300
+SEED = int(_sys.argv[2]) if len(_sys.argv) > 2 else 77000
 fails = 0
-N = 300
 for case in range(N):
-    rng = np.random.default_rng(77000 + case)
+    rng = np.random.default_rng(SEED + case)
     fmt = get_format(FMTS[int(rng.integers(len(FMTS)))])
     w = int(rng.integers(1, 90)) * 2          # 2..178
     h = int(rng.integers(1, 24)) * 4          # 4..92
@@ -67,9 +71,9 @@ from scalar_model import sangnom2_clip_scalar  # noqa: E402
 C_FMTS = ["GRAY8", "YUV420P8", "YUV420P16", "YUV422P8", "YUV411P8",
           "YUV444P8", "YUV420PS"]
 cfails = 0
-NC = 60
+NC = int(_sys.argv[3]) if len(_sys.argv) > 3 else 60
 for case in range(NC):
-    rng = np.random.default_rng(88000 + case)
+    rng = np.random.default_rng(SEED + 11000 + case)
     fmt = get_format(C_FMTS[int(rng.integers(len(C_FMTS)))])
     w = int(rng.integers(4, 17)) * 4          # 16..64
     h = int(rng.integers(2, 5)) * 4           # 8..16
