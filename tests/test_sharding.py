@@ -359,3 +359,95 @@ def test_width_sharded_in_kernel_weave_engaged(rng, monkeypatch):
         got = sangnom2_sharded(clip, mesh, space_axis="space", opt=1, **kw)
         _assert_clips_equal(got, want)
         assert expect in seen, (fmt_name, kw, seen)
+
+
+def _lowered_collectives(clip, mesh, *, smooth, opt, n_space, order=1,
+                         dh=False):
+    """collective_permute site count in the UNCOMPILED StableHLO of the
+    cached sharded program (S._sharded_jit) — the designed communication
+    structure, before backend passes."""
+    import jax.numpy as jnp
+
+    import sangnom_tpu.parallel.sharding as S
+    from sangnom_tpu.core.geometry import buffer_stride_elems
+
+    fmt = clip.format
+    stride = buffer_stride_elems(clip.width, fmt.component_size)
+    widths = tuple(p.shape[2] for p in clip.planes)
+    planes = []
+    for p in clip.planes:
+        if p.shape[2] < stride:
+            s_eff = S._sharded_pad_width(
+                p.shape[2], p.shape[1], stride, n_space, fmt, dh
+            )
+            if p.shape[2] < s_eff:
+                p = jnp.pad(p, ((0, 0), (0, 0), (0, s_eff - p.shape[2])),
+                            mode="edge")
+        planes.append(p)
+    lowered = S._sharded_jit.lower(
+        tuple(planes), clip.parity_array(), mesh=mesh, fmt=fmt, order=order,
+        aa=48, aac=0, dh=dh, luma=True, chroma=True, opt=opt, numerics="c",
+        data_axis="data", space_axis="space", smooth=smooth,
+        plane_widths=widths, stride=stride,
+    )
+    txt = lowered.as_text()
+    total = txt.count("stablehlo.collective_permute")
+    # The fused path's KEPT-FIELD exchange rides the STORAGE dtype (u8
+    # here) while the per-chunk carry exchange rides the i32 accumulator —
+    # the tensor element type in the StableHLO identifies which is which.
+    kept = sum(
+        1 for line in txt.splitlines()
+        if "stablehlo.collective_permute" in line and "ui8>" in line
+    )
+    return total, kept
+
+
+def test_sharded_halo_exchange_count_invariants(rng, monkeypatch):
+    """Pin the sharded communication STRUCTURE (docs/MULTICHIP.md):
+
+    1. The fused path's whole-field (kept, storage-dtype) exchange runs
+       ONCE per plane on the full frame batch; VMEM sub-batches slice the
+       exchanged array instead of re-exchanging (the round-3 review fix —
+       a regression re-introducing a per-sub-batch kept exchange grows the
+       u8 site count).  The small per-chunk carry exchange legitimately
+       appears once per sub-batch SCAN (same total bytes; production
+       batches don't sub-batch on the sharded path: g_max ~ 224 at the
+       4-shard 1080p headline vs B=120).
+    2. No backend's count may grow with plane HEIGHT — per-row (scan) and
+       per-chunk (fused/chunked) exchanges ride lax.scan state, so the
+       site count is height-independent by design.
+    """
+    import sangnom_tpu.parallel.fused_smooth as fs
+
+    mesh = default_mesh(data=2, space=2)
+
+    base_total, base_kept = _lowered_collectives(
+        _clip(rng, "YUV420P8", 64, 32, n=8), mesh,
+        smooth="fused", opt=1, n_space=2)
+    # 2 plane traces (luma + fused UV) x one left+right kept exchange
+    assert base_kept == 4, base_kept
+    assert base_total > base_kept  # carry exchanges exist too
+    monkeypatch.setattr(fs, "_fused_batch", lambda W_ext, n_sm: 4)
+    split_total, split_kept = _lowered_collectives(
+        _clip(rng, "YUV420P8", 64, 32, n=24), mesh,
+        smooth="fused", opt=1, n_space=2)
+    assert split_kept == base_kept, (
+        f"kept-field halo exchanges grew under frame sub-batching: "
+        f"{base_kept} -> {split_kept} (one exchange per plane is the "
+        f"contract; sub-batches must slice the exchanged array)"
+    )
+    assert split_total > base_total  # per-sub-batch carry scans, by design
+    monkeypatch.undo()
+
+    for smooth, opt in (("fused", 1), ("chunked", 1), ("scan", 0)):
+        short, _ = _lowered_collectives(_clip(rng, "YUV420P8", 64, 32, n=4),
+                                        mesh, smooth=smooth, opt=opt,
+                                        n_space=2)
+        tall, _ = _lowered_collectives(_clip(rng, "YUV420P8", 64, 96, n=4),
+                                       mesh, smooth=smooth, opt=opt,
+                                       n_space=2)
+        assert tall == short, (
+            f"{smooth}: halo-exchange sites scale with height "
+            f"({short} -> {tall}); exchanges must ride the scan"
+        )
+    jax.clear_caches()  # drop programs traced with the patched batch cap
