@@ -131,6 +131,40 @@ _HBOX_MERGE = "concat"
 # copies; Mosaic issues selects cheaply).
 _FLOAT_HBOX_ROLLED = False
 
+# A/B hook: leading-pair roll reuse for the f32 hbox (round 3).  The
+# reference's left-to-right 7-tap order starts with (t-3 + t-2); that
+# exact fp add is computable ONCE as p[x] = line[x] + line[clamp(x+1)]
+# and rotated into place (lead = rot(p, -3)), and p's clamped +1 tap IS
+# tap t+1, reused later in the chain — 5 rolls + 5 selects per slab
+# instead of 6 + 6, with NO edge-slab concatenate (the failure mode of
+# _FLOAT_HBOX_ROLLED) and the fp association unchanged operation-for-
+# operation.  The float kernel runs 9 unpacked slabs, so this cuts ~1/6
+# of the dominant-stage rolls on the roll-bound kernel.  Default OFF
+# until the hardware interleaved A/B (tools/ab_floatpair.py) lands —
+# the -4.6% _FLOAT_HBOX_ROLLED rejection is the cautionary tale for
+# "obviously fewer ops" float hbox variants (this one has no concat
+# merge, the rolled form's failure mode, but the chip decides).
+_FLOAT_HBOX_PAIR = False
+
+
+def _hbox7_float_pair(line: jnp.ndarray, S: int) -> jnp.ndarray:
+    """f32 7-tap box sum, leading-pair roll reuse (see _FLOAT_HBOX_PAIR).
+
+    Operation-identical to `_hbox7_exact`: every column sums the same
+    clamped tap VALUES in the same left-to-right order — only the
+    (t-3 + t-2) partial sum is computed at shift 0 and rotated, instead
+    of rotating both operands first."""
+    t_p1 = _shift_clamped(line, 1, S)      # tap +1, also p's second term
+    p = line + t_p1                        # p[x] = line[x] + line[clamp(x+1)]
+    col = _col_iota(line.shape)
+    edge2 = line[..., :1] + line[..., :1]  # t-3 + t-2 == 2*line[0] at x < 3
+    lead = jnp.where(col < 3, edge2, _rot(p, -3))
+    s = lead + _shift_clamped(line, -1, S)
+    s = s + line
+    s = s + t_p1
+    s = s + _shift_clamped(line, 2, S)
+    return s + _shift_clamped(line, 3, S)
+
 # Trace-time switch: 3-roll cumulative-sum integer hbox bulk vs the
 # 4-roll rotate tree (A/B hook).  b covers taps {0,1}, c covers {0..3},
 # and c[x] + c[x-3] double-counts only tap 0, which one exact integer
@@ -188,6 +222,8 @@ def _hbox7(line: jnp.ndarray, S: int, S_pad: int,
     and the result feeds an exact-equality min-select) but keeps the
     rolled-bulk + edge-slab form in the reference's tap order
     (_hbox7_float_rolled)."""
+    if is_float and _FLOAT_HBOX_PAIR:
+        return _hbox7_float_pair(line, S)  # clamped: no slab-width bound
     if S_pad < 384 or not _HBOX_TREE:
         return _hbox7_exact(line, S)
     if is_float:

@@ -352,11 +352,30 @@ def _full_kernel(meta_ref, sm0_ref, k0_ref, k1_ref, k2_ref, out_ref,
     line = jnp.where(right & (col >= HALO + W_loc),
                      line[..., HALO + W_loc - 1 : HALO + W_loc], line)
     if spec.is_float:
-        # left-to-right association (the reference's C expression order)
-        taps = _taps7_roll(line)
-        h = taps[0]
-        for tp in taps[1:3] + [line] + taps[4:]:
-            h = h + tp
+        # left-to-right association (the reference's C expression order).
+        # Default: the leading-pair roll reuse (ops.pallas_kernel
+        # ._FLOAT_HBOX_PAIR, shared trace-time hook): the chain's first
+        # add (t-3 + t-2) is computed once at shift 0 and rotated into
+        # place, and its +1 operand IS tap t+1 — 5 rolls per slab
+        # instead of 6.  Wrap contamination stays within 3 lanes per
+        # side (rot(p,-3) reads p's last wrap lane into lane 2), the
+        # same envelope as the pure tap rolls, re-fixed from the halo
+        # every step.
+        from sangnom_tpu.ops import pallas_kernel as _pk
+
+        if _pk._FLOAT_HBOX_PAIR:
+            t_p1 = _rot(line, 1)
+            p = line + t_p1
+            h = _rot(p, -3) + _rot(line, -1)
+            h = h + line
+            h = h + t_p1
+            h = h + _rot(line, 2)
+            h = h + _rot(line, 3)
+        else:
+            taps = _taps7_roll(line)
+            h = taps[0]
+            for tp in taps[1:3] + [line] + taps[4:]:
+                h = h + tp
     else:
         # 3-roll cumulative-sub bulk (see ops.pallas_kernel._HBOX_SUB3;
         # +5.2% single-chip): wrap contamination stays within 3 lanes per

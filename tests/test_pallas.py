@@ -89,6 +89,31 @@ def test_pallas_float_rolled_hbox_wide(rng, monkeypatch):
     _run("GRAYS", 500, 24, rng, order=1, aa=48, aac=48)
 
 
+def test_pallas_float_pair_hbox(rng, monkeypatch):
+    """The leading-pair f32 hbox A/B hook (_hbox7_float_pair: the chain's
+    first add t-3 + t-2 computed once at shift 0 and rotated, its +1
+    operand reused as tap t+1 — 5 rolls + 5 selects per slab, fp
+    association unchanged operation-for-operation) stays bit-exact on
+    wide AND narrow float planes (it is fully clamped: no slab-width
+    bound), through the single-chip kernel and the fully-fused sharded
+    kernel (parallel/fused_smooth shares the hook)."""
+    import sangnom_tpu.ops.pallas_kernel as pk
+    from sangnom_tpu.parallel import default_mesh, sangnom2_sharded
+
+    monkeypatch.setattr(pk, "_FLOAT_HBOX_PAIR", True)
+    _run("GRAYS", 500, 24, rng, order=1, aa=48, aac=48)
+    _run("YUV444PS", 48, 16, rng, order=2)
+    clip = Clip.from_numpy(
+        [make_planes(rng, 64, 16, get_format("GRAYS"))[0][None]], "GRAYS"
+    )
+    want = sangnom2(clip, opt=0, order=1)
+    got = sangnom2_sharded(clip, default_mesh(data=1, space=4), order=1,
+                           space_axis="space", opt=1)
+    np.testing.assert_array_equal(np.asarray(got.planes[0]),
+                                  np.asarray(want.planes[0]))
+    jax.clear_caches()  # drop programs traced with the patched hook
+
+
 def test_pallas_float_weave_dispatch(rng, monkeypatch):
     """Float formats take the in-kernel weave (round 3: the round-2 -18%
     rejection reversed at +24.2% after the 3-roll hbox + chunk-batch work,
