@@ -1,0 +1,31 @@
+#!/bin/bash
+# Sequential TPU work queue for the chip-outage backlog (2026-08-18):
+# runs AFTER tools/retry_rotforms.sh exits (the probe loop owns the chip
+# first; sequential single-process jobs — interleaved arms INSIDE each
+# script are what make the A/Bs honest).  Each stage retries on backend-
+# init failure like the probe loop.  NEVER kill these mid-computation.
+cd /root/repo
+run_patient() {  # run_patient <name> <outfile> <cmd...>
+  local name="$1" out="$2"; shift 2
+  for i in $(seq 1 30); do
+    echo "=== $name attempt $i $(date -u +%H:%M:%S) ===" >> "$out"
+    if "$@" >> "$out" 2>&1; then
+      echo "=== $name SUCCESS $(date -u +%H:%M:%S) ===" >> "$out"
+      return 0
+    fi
+    grep -q "UNAVAILABLE" "$out" || return 1  # real failure: stop retrying
+    sleep 90
+  done
+  return 1
+}
+
+# wait for the probe loop to finish (poll its process — read-only check,
+# no kill; then give its last python a moment to flush)
+while pgrep -f "retry_rotforms|calibrate_vpu" > /dev/null 2>&1; do sleep 60; done
+sleep 10
+
+run_patient ab_floatpair results/floatpair_ab_r03.txt \
+  python tools/ab_floatpair.py
+run_patient bench results/bench_r03_dev3.txt \
+  python bench.py
+echo "queue done $(date -u +%H:%M:%S)" >> results/tpu_queue_r03b.log
