@@ -19,10 +19,10 @@ run_patient() {  # run_patient <name> <outfile> <cmd...>
   return 1
 }
 
-# wait for the probe loop to finish (poll its process — read-only check,
-# no kill; then give its last python a moment to flush)
-while pgrep -f "retry_rotforms|calibrate_vpu" > /dev/null 2>&1; do sleep 60; done
-sleep 10
+# Sequencing note: run this AFTER tools/retry_rotforms.sh exits — e.g.
+# `bash tools/retry_rotforms.sh; bash tools/tpu_queue_r03b.sh`.  (An earlier
+# revision polled pgrep -f here, but the pattern matches any launcher shell
+# whose command line names retry_rotforms, deadlocking the queue.)
 
 run_patient ab_floatpair results/floatpair_ab_r03.txt \
   python tools/ab_floatpair.py
