@@ -28,4 +28,6 @@ run_patient ab_floatpair results/floatpair_ab_r03.txt \
   python tools/ab_floatpair.py
 run_patient bench results/bench_r03_dev3.txt \
   python bench.py
+run_patient verify_drive results/verify_drive_tpu_r03.txt \
+  python tools/verify_drive.py
 echo "queue done $(date -u +%H:%M:%S)" >> results/tpu_queue_r03b.log
