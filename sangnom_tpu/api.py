@@ -78,6 +78,16 @@ def _validate(name: str, clip: Clip, order: int, aa: int, aac: int, opt: int) ->
         raise SangNomError(f"{name}: opt=1 requires a TPU backend.")
 
 
+def _validate_numerics(name: str, numerics: str) -> None:
+    """One home for the numerics-contract check (framework extension, no
+    reference analogue) — every surface that takes ``numerics`` calls
+    this so the accepted set and wording cannot drift between them."""
+    if numerics not in ("c", "sse2"):
+        raise SangNomError(
+            f"{name}: numerics must be 'c' or 'sse2', got {numerics!r}."
+        )
+
+
 def sangnom2(
     clip: Clip,
     order: int = 1,
@@ -117,10 +127,7 @@ def sangnom2(
     """
     del threads  # accepted-but-ignored dummy (reference README.md:40-41)
     _validate("SangNom2", clip, order, aa, aac, opt)
-    if numerics not in ("c", "sse2"):
-        raise SangNomError(
-            f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."
-        )
+    _validate_numerics("SangNom2", numerics)
     return sangnom2_op(
         clip, order=order, aa=aa, aac=aac, dh=dh, luma=luma, chroma=chroma,
         opt=opt, pool_compat=pool_compat, numerics=numerics,
@@ -138,10 +145,7 @@ def sangnom(clip: Clip, order: int = 1, aa: int = 48, opt: int = -1,
     """Legacy SangNom wrapper (documented surface; see module docstring).
     The compat extensions compose the same way as on sangnom2."""
     _validate("SangNom", clip, order, aa, 0, opt)
-    if numerics not in ("c", "sse2"):
-        raise SangNomError(
-            f"SangNom: numerics must be 'c' or 'sse2', got {numerics!r}."
-        )
+    _validate_numerics("SangNom", numerics)
     new_order = _LEGACY_ORDER_REMAP[order] if order != 1 else 1
     return sangnom2_op(clip, order=new_order, aa=aa, aac=0, opt=opt,
                        pool_compat=pool_compat, numerics=numerics)
@@ -178,10 +182,7 @@ class SangNom2Filter:
             raise SangNomError("SangNom2: opt must be between -1..2.")
         if opt == 1 and not _opt1_backend_ok():
             raise SangNomError("SangNom2: opt=1 requires a TPU backend.")
-        if numerics not in ("c", "sse2"):
-            raise SangNomError(
-                f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."
-            )
+        _validate_numerics("SangNom2", numerics)
         del threads
         self.order, self.aa, self.aac = order, aa, aac
         self.dh, self.luma, self.chroma, self.opt = dh, luma, chroma, opt

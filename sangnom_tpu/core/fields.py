@@ -133,10 +133,14 @@ def bob(clip: Clip, aa: int = 48, aac: int = 0, luma: bool = True,
     field's data, so those cases — and pool_compat, whose pool state is
     keyed to the woven frame sequence — keep the explicit pipeline.
     """
-    from sangnom_tpu.api import SangNomError, _validate, sangnom2
+    from sangnom_tpu.api import _validate, _validate_numerics, sangnom2
 
     tff_r = clip.tff if tff is None else tff
-    fused = (luma and chroma and not pool_compat
+    # chroma only gates the fused path when chroma planes exist: on a
+    # single-plane (GRAY) clip the mask is vacuous and the fused form
+    # stays value-identical
+    fused = (luma and (chroma or clip.format.num_planes == 1)
+             and not pool_compat
              and clip.format.num_planes <= 3 and clip.height % 2 == 0)
     if fused:
         # validate against the WOVEN geometry (identical to the explicit
@@ -144,10 +148,7 @@ def bob(clip: Clip, aa: int = 48, aac: int = 0, luma: bool = True,
         # SeparateFields + the filter as ONE compiled dispatch — the
         # per-frame parity alternation is a compile-time constant here
         _validate("SangNom2", clip, 0, aa, aac, opt)
-        if numerics not in ("c", "sse2"):
-            raise SangNomError(
-                f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."
-            )
+        _validate_numerics("SangNom2", numerics)
         planes = _bob_jit(
             clip.planes, clip.format, aa, aac, tff_r, opt, numerics
         )

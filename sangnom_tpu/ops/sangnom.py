@@ -439,16 +439,16 @@ def _order0_static_split(clip, parity, aa, aac, dh, luma, chroma, opt,
     """order=0 with host-concrete parity: resolve the per-frame offsets NOW
     and dispatch static-offset kernels instead of the traced-offset path.
 
-    The traced path selects per-frame weave inputs in-graph (round 2:
-    single-interleave form, +8.9% over the double-weave original —
-    results/weavesel_ab_interleaved.txt) and cannot use the in-kernel
-    weave (a static order measured a further ~10% faster).  At this level the parity array is a concrete value
-    (AviSynth's GetParity is a host call too, reference
-    src/SangNom2.cpp:338), so a UNIFORM batch collapses to order 1/2
-    outright.  A mixed batch (e.g. bob's alternation) stays on the traced
-    path: the gather/scatter split into two static groups was built and
-    measured ~4x slower (see the in-body comment), so mixed parity — and
-    therefore bob — does NOT get the in-kernel weave.
+    At this level the parity array is a concrete value (AviSynth's
+    GetParity is a host call too, reference src/SangNom2.cpp:338), so a
+    UNIFORM batch collapses to order 1/2 outright — static offsets
+    measured ~10% faster than the round-2 traced-weave form
+    (results/weavesel_ab_interleaved.txt).  A mixed batch (e.g. bob's
+    alternation) stays on the traced path, where since round 3 the
+    Pallas backend consumes per-frame offsets via the in-kernel 'pf'
+    weave (~2% off static, results/truebob_decomposition_r03.txt); the
+    gather/scatter split into two static groups was built and measured
+    ~4x slower (see the in-body comment).
     """
     fmt = clip.format
     if parity is None:

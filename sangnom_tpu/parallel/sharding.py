@@ -181,14 +181,11 @@ def sangnom2_sharded(
     single-device surface ("c" | "sse2"); every sharded backend honors it
     through the shared primitives.
     """
-    from sangnom_tpu.api import SangNomError, _validate  # surface parity
+    from sangnom_tpu.api import _validate, _validate_numerics  # surface parity
     from sangnom_tpu.core.geometry import buffer_stride_elems
 
     _validate("SangNom2", clip, order, aa, aac, opt)
-    if numerics not in ("c", "sse2"):
-        raise SangNomError(
-            f"SangNom2: numerics must be 'c' or 'sse2', got {numerics!r}."
-        )
+    _validate_numerics("SangNom2", numerics)
     del threads
 
     n_data = mesh.shape[data_axis]
@@ -239,6 +236,14 @@ def sangnom2_sharded(
                 smooth = "fused"
             else:
                 smooth = "fused" if jax.default_backend() == "tpu" else "scan"
+        elif smooth not in ("scan", "chunked", "fused", "fused_noweave"):
+            # a typo'd name would otherwise fall through every backend
+            # match in interpolate_field_width_sharded and silently run
+            # the scan arm — the same mismeasurement hazard as below
+            raise ValueError(
+                f"smooth={smooth!r}: expected one of 'scan', 'chunked', "
+                "'fused', 'fused_noweave'."
+            )
     elif smooth is not None:
         # smooth selects among WIDTH-sharded smoothing backends; silently
         # ignoring it on a data-only mesh would let an A/B harness measure

@@ -130,6 +130,28 @@ def test_bob_plane_mask_falls_back_to_explicit(rng):
         )
 
 
+def test_bob_gray_chroma_mask_stays_fused(rng, monkeypatch):
+    """chroma=False on a single-plane clip is vacuous (no chroma planes),
+    so the fused fast path must still run — and stay bit-identical to the
+    explicit pipeline."""
+    clip, _ = _clip(rng, "GRAY8", w=32, h=16, n=2, tff=True)
+    explicit = sangnom2(
+        double_weave(separate_fields(clip)), order=0, chroma=False, opt=0
+    )
+    # only the explicit fallback calls separate_fields inside bob(); making
+    # it raise proves the fused path was taken
+    import sangnom_tpu.core.fields as fields_mod
+
+    def boom(*a, **k):
+        raise AssertionError("explicit pipeline taken; expected fused")
+
+    monkeypatch.setattr(fields_mod, "separate_fields", boom)
+    out = fields_mod.bob(clip, chroma=False, opt=0)
+    np.testing.assert_array_equal(
+        np.asarray(out.planes[0]), np.asarray(explicit.planes[0])
+    )
+
+
 def test_separate_fields_odd_height_rejected(rng):
     fmt = get_format("GRAY8")
     clip = Clip.from_numpy([np.zeros((1, 15, 16), np.uint8)], fmt)

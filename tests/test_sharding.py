@@ -196,6 +196,16 @@ def test_smooth_requires_space_axis(rng):
         sangnom2_sharded(clip, mesh, order=1, smooth="scan")
 
 
+def test_smooth_unknown_name_rejected(rng):
+    """A typo'd smooth= name must raise, not fall through every backend
+    match to the scan arm (the silent-wrong-arm mismeasurement hazard)."""
+    clip = _clip(rng, "GRAY8", 64, 16, n=2)
+    mesh = default_mesh(data=4, space=2)
+    with pytest.raises(ValueError, match="expected one of"):
+        sangnom2_sharded(clip, mesh, order=1, space_axis="space",
+                         smooth="fusd")
+
+
 def test_width_sharded_smooth_chunked_variant(rng):
     """The round-2 chunked-smoothing-only variant stays reachable and
     bit-exact (smooth='chunked': Pallas smoothing, XLA prepare/finalize)."""

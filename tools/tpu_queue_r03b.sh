@@ -7,15 +7,23 @@
 cd /root/repo
 run_patient() {  # run_patient <name> <outfile> <cmd...>
   local name="$1" out="$2"; shift 2
+  local tmp
+  tmp=$(mktemp)
   for i in $(seq 1 30); do
     echo "=== $name attempt $i $(date -u +%H:%M:%S) ===" >> "$out"
-    if "$@" >> "$out" 2>&1; then
+    if "$@" > "$tmp" 2>&1; then
+      cat "$tmp" >> "$out"; rm -f "$tmp"
       echo "=== $name SUCCESS $(date -u +%H:%M:%S) ===" >> "$out"
       return 0
     fi
-    grep -q "UNAVAILABLE" "$out" || return 1  # real failure: stop retrying
+    cat "$tmp" >> "$out"
+    # retry only on backend-init unavailability IN THIS attempt's output
+    # (grepping the cumulative file would retry real failures forever
+    # once any one UNAVAILABLE line had been logged)
+    grep -q "UNAVAILABLE" "$tmp" || { rm -f "$tmp"; return 1; }
     sleep 90
   done
+  rm -f "$tmp"
   return 1
 }
 

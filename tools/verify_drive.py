@@ -66,6 +66,7 @@ planes = [
 fails = 0
 for order in (0, 1, 2):
     for dh in (False, True):
+        cfg_fails_before = fails
         par_arr = np.array([1, 0, 0, 1], bool) if order == 0 else None
         # mixed per-frame parity (order=0) exercises the per-frame-offset weave
         clip_f = Clip.from_numpy(
@@ -93,7 +94,7 @@ for order in (0, 1, 2):
                         f"maxdiff {d.max()} at {np.unravel_index(d.argmax(), d.shape)}")
                     fails += 1
         log(f"float order={order} dh={dh}: opt1==opt0==oracle "
-            f"{'OK' if fails == 0 else 'FAIL'}")
+            f"{'OK' if fails == cfg_fails_before else 'FAIL'}")
 assert fails == 0, f"{fails} float parity failures"
 
 # --- 3. error probes ---
