@@ -9,6 +9,8 @@ pool-contended, so only interleaved arms measure honestly.
 
 Capture to results/floatpair_ab_r03.txt.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root, so `python tools/x.py` works uninstalled
 import sys
 import time
 

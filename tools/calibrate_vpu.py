@@ -25,8 +25,10 @@ width axis answers whether an op's cost scales with vreg count — the
 input for any lane-packing arithmetic).  Default arms cover the kernel's
 op classes.  Writes one human-readable block; capture to results/.
 """
-
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root, so `python tools/x.py` works uninstalled
 
 import functools
 import sys
@@ -59,12 +61,25 @@ def _chain(kind: str, x, y, k: int):
             # same primitive, the kernel's largest static shift — does the
             # issue cost depend on the shift amount?
             x, y = pltpu.roll(x, 3, axis=x.ndim - 1), x
-        elif kind == "roll_sub":
+        elif kind in ("roll_sub", "troll_sub"):
             # rotate along the SUBLANE axis instead of lanes: if this
             # issues much faster, a transposed slab layout ([W, g] with
             # the column shifts riding sublanes) could dethrone the
-            # lane-roll bound.
+            # lane-roll bound.  The t-prefixed arm runs on the ACTUAL
+            # candidate shape ([W, G] scratch, 256 sublane tiles).
             x, y = pltpu.roll(x, 1, axis=0), x
+        elif kind == "troll3":
+            # transposed slab, kernel's largest shift along sublanes
+            x, y = pltpu.roll(x, 3, axis=0), x
+        elif kind == "tadd":
+            # transposed slab adds: lane under-utilization check (G=120
+            # of 128 lanes occupied)
+            x, y = x + y, x
+        elif kind == "tmix":
+            # the kernel blend with its rotation riding SUBLANES — the
+            # direct "what would the transposed kernel achieve" figure
+            r = pltpu.roll(x, 1, axis=0)
+            x, y = jnp.where(x > y, (x + r) >> 1, (r & 0x00FF00FF) + y), x
         elif kind == "concat_rot":
             # the same rotation spelled as static slices + concatenate —
             # does Mosaic lower this cheaper than the roll primitive?
@@ -99,25 +114,35 @@ def _chain(kind: str, x, y, k: int):
 # = 7, others = 1)
 OPS_PER_ITER = {"add": 1, "roll": 1, "roll3": 1, "roll_sub": 1,
                 "concat_rot": 1, "jroll": 1, "where": 2, "shift_and": 3,
-                "min": 1, "mul": 1, "mix": 7}
+                "min": 1, "mul": 1, "mix": 7,
+                "troll_sub": 1, "troll3": 1, "tadd": 1, "tmix": 7}
 
 
 def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
     t = pl.program_id(0)
+    transposed = kind in ("troll_sub", "troll3", "tadd", "tmix")
 
     @pl.when(t == 0)
     def _():
-        x_ref[...] = in_ref[...].astype(jnp.int32)
-        y_ref[...] = in_ref[...].astype(jnp.int32) ^ 0x55AA55
+        seed = in_ref[...].astype(jnp.int32)
+        if transposed:
+            seed = seed.T  # one-time; differential timing cancels it
+        x_ref[...] = seed
+        y_ref[...] = seed ^ 0x55AA55
 
     x = _chain(kind, x_ref[...], y_ref[...], k)
     x_ref[...] = x
-    out_ref[0] = x[:, :128]
+    if transposed:
+        out_ref[0, :, :x.shape[1]] = x[:G, :]
+    else:
+        out_ref[0] = x[:, :128]
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "k", "w"))
 def _run(src, kind: str, k: int, w: int = W):
     kern = functools.partial(_kernel, kind=kind, k=k)
+    scratch = ((w, G) if kind in ("troll_sub", "troll3", "tadd", "tmix")
+               else (G, w))
     return pl.pallas_call(
         kern,
         grid=(STEPS,),
@@ -126,8 +151,8 @@ def _run(src, kind: str, k: int, w: int = W):
         out_specs=pl.BlockSpec((1, G, 128), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((STEPS, G, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((G, w), jnp.int32),
-                        pltpu.VMEM((G, w), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM(scratch, jnp.int32),
+                        pltpu.VMEM(scratch, jnp.int32)],
         interpret=jax.default_backend() != "tpu",
     )(src[:, :w])
 

@@ -6,6 +6,8 @@ remote compiles), including chroma width-tier cases and batch chunking.
 geometry, order/dh/aa/aac/plane-mask/parity all randomized) — each is a
 fresh Mosaic compile, so N bounds wall-clock.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root, so `python tools/x.py` works uninstalled
 import sys
 
 import numpy as np

@@ -9,6 +9,8 @@
 
 Run on the real TPU (no JAX_PLATFORMS pin); exits non-zero on any failure.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root, so `python tools/x.py` works uninstalled
 import sys
 
 import numpy as np
