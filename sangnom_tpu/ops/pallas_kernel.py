@@ -139,12 +139,14 @@ _FLOAT_HBOX_ROLLED = False
 # instead of 6 + 6, with NO edge-slab concatenate (the failure mode of
 # _FLOAT_HBOX_ROLLED) and the fp association unchanged operation-for-
 # operation.  The float kernel runs 9 unpacked slabs, so this cuts ~1/6
-# of the dominant-stage rolls on the roll-bound kernel.  Default OFF
-# until the hardware interleaved A/B (tools/ab_floatpair.py) lands —
-# the -4.6% _FLOAT_HBOX_ROLLED rejection is the cautionary tale for
-# "obviously fewer ops" float hbox variants (this one has no concat
-# merge, the rolled form's failure mode, but the chip decides).
-_FLOAT_HBOX_PAIR = False
+# of the dominant-stage rolls on the roll-bound kernel.  Default ON:
+# the hardware interleaved A/B (tools/ab_floatpair.py, 8 rotating-order
+# trials at cfg5f with the float weave on) measured +7.9% bit-identical
+# (results/floatpair_ab_r03.txt).  The -4.6% _FLOAT_HBOX_ROLLED
+# rejection was the cautionary tale for "obviously fewer ops" float
+# hbox variants — this one has no concat merge (the rolled form's
+# failure mode), and the chip confirmed it.
+_FLOAT_HBOX_PAIR = True
 
 
 def _hbox7_float_pair(line: jnp.ndarray, S: int) -> jnp.ndarray:

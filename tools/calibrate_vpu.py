@@ -71,6 +71,19 @@ def _chain(kind: str, x, y, k: int):
         elif kind == "troll3":
             # transposed slab, kernel's largest shift along sublanes
             x, y = pltpu.roll(x, 3, axis=0), x
+        elif kind == "rolladd":
+            # NON-COLLAPSIBLE lane roll: pure roll chains compose
+            # (roll^K == one roll by K) and Mosaic proved willing to
+            # collapse them on some shapes (troll_sub measured 2530% of
+            # peak); interleaving an add breaks composability.  2 ops.
+            x, y = pltpu.roll(x, 1, axis=x.ndim - 1) + y, x
+        elif kind == "trolladd":
+            # non-collapsible SUBLANE roll on the transposed slab. 2 ops.
+            x, y = pltpu.roll(x, 1, axis=0) + y, x
+        elif kind == "trolladd8":
+            # sublane roll by a full vreg height (8): pure register
+            # renaming if Mosaic exploits it. 2 ops.
+            x, y = pltpu.roll(x, 8, axis=0) + y, x
         elif kind == "tadd":
             # transposed slab adds: lane under-utilization check (G=120
             # of 128 lanes occupied)
@@ -115,12 +128,13 @@ def _chain(kind: str, x, y, k: int):
 OPS_PER_ITER = {"add": 1, "roll": 1, "roll3": 1, "roll_sub": 1,
                 "concat_rot": 1, "jroll": 1, "where": 2, "shift_and": 3,
                 "min": 1, "mul": 1, "mix": 7,
-                "troll_sub": 1, "troll3": 1, "tadd": 1, "tmix": 7}
+                "troll_sub": 1, "troll3": 1, "tadd": 1, "tmix": 7,
+                "rolladd": 2, "trolladd": 2, "trolladd8": 2}
 
 
 def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
     t = pl.program_id(0)
-    transposed = kind in ("troll_sub", "troll3", "tadd", "tmix")
+    transposed = kind in ("troll_sub", "troll3", "tadd", "tmix", "trolladd", "trolladd8")
 
     @pl.when(t == 0)
     def _():
@@ -141,7 +155,7 @@ def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
 @functools.partial(jax.jit, static_argnames=("kind", "k", "w"))
 def _run(src, kind: str, k: int, w: int = W):
     kern = functools.partial(_kernel, kind=kind, k=k)
-    scratch = ((w, G) if kind in ("troll_sub", "troll3", "tadd", "tmix")
+    scratch = ((w, G) if kind in ("troll_sub", "troll3", "tadd", "tmix", "trolladd", "trolladd8")
                else (G, w))
     return pl.pallas_call(
         kern,
