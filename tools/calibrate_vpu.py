@@ -45,13 +45,46 @@ G, W = 120, 2048  # the u8 1080p luma kernel's slab shape
 STEPS = 512       # ~ the 539-step 1080p grid
 
 
-def _chain(kind: str, x, y, k: int):
+def _chain(kind: str, x, y, k: int, x_ref=None):
     """k data-dependent ops of the given class; returns the chain tail.
 
     Every arm is written as a two-register recurrence (Fibonacci-style
     swap) so NO prefix of the chain is constant-foldable: a first attempt
     with one-register chains (``x = x + y`` repeated) measured 694% of
-    nominal peak — XLA/Mosaic strength-reduced it to ``x + K*y``."""
+    nominal peak — XLA/Mosaic strength-reduced it to ``x + K*y``.
+
+    The v-prefixed arms get the (lane-padded) scratch ref: they express
+    the lane shift as a VMEM round-trip (store + static-offset load)
+    instead of an in-register pltpu.roll — the question is whether the
+    load datapath realigns cheaper than the permute unit.  The store
+    each iteration also makes the loads non-hoistable (the ref changes).
+
+    The 4-register arms (rolladd2, rollvshift) run TWO independent
+    chains interleaved: they measure whether independent work overlaps
+    (pipelining on the permute unit itself, or co-issue between the
+    permute unit and the load-realign path).  If rollvshift iterates at
+    rolladd's rate, the vshift rides free and the kernel can split its
+    shifts across both datapaths."""
+    w = x.shape[-1]
+    if kind == "rolladd2":
+        # control: 2 INDEPENDENT roll+add chains.  rate ~2x rolladd =>
+        # the permute unit pipelines (rolladd's figure is latency-bound
+        # and the real kernel's ILP already fills the unit); rate ~1x
+        # => throughput-bound, only a second datapath can add shifts.
+        u, v = x ^ 0x33CC33, y ^ 0x0F0F0F
+        for _ in range(k):
+            x, y = pltpu.roll(x, 1, axis=x.ndim - 1) + y, x
+            u, v = pltpu.roll(u, 1, axis=u.ndim - 1) + v, u
+        return x + y + u + v
+    if kind == "rollvshift":
+        # co-issue probe: one permute-unit shift chain + one VMEM
+        # round-trip shift chain, independent.  5 nominal slab-ops/iter.
+        u, v = x ^ 0x33CC33, y ^ 0x0F0F0F
+        for _ in range(k):
+            x_ref[:, :w] = u
+            x, y = pltpu.roll(x, 1, axis=x.ndim - 1) + y, x
+            u, v = x_ref[:, 1:1 + w] + v, u
+        return x + y + u + v
     for _ in range(k):
         if kind == "add":
             x, y = x + y, x                       # 1 op
@@ -84,6 +117,23 @@ def _chain(kind: str, x, y, k: int):
             # sublane roll by a full vreg height (8): pure register
             # renaming if Mosaic exploits it. 2 ops.
             x, y = pltpu.roll(x, 8, axis=0) + y, x
+        elif kind == "vshift1":
+            # ONE lane shift via VMEM round-trip: store the line, read it
+            # back at lane offset 1.  Compare ITERATION RATE vs rolladd
+            # (same shift+add, permute-unit spelling). 3 slab-ops nominal.
+            x_ref[:, :w] = x
+            x, y = x_ref[:, 1:1 + w] + y, x
+        elif kind == "vshift6":
+            # the taps7 pattern: ONE store amortized over SIX distinct
+            # static-offset reads (the kernel computes 6 shifts of each
+            # freshly built line).  13 slab-ops nominal; compare per-shift
+            # cost vs roll's. If loads realign off the permute unit's
+            # critical path this wins despite more nominal ops.
+            x_ref[:, :w] = x
+            acc = y
+            for s in range(1, 7):
+                acc = acc + x_ref[:, s:s + w]
+            x, y = acc, x
         elif kind == "tadd":
             # transposed slab adds: lane under-utilization check (G=120
             # of 128 lanes occupied)
@@ -129,23 +179,35 @@ OPS_PER_ITER = {"add": 1, "roll": 1, "roll3": 1, "roll_sub": 1,
                 "concat_rot": 1, "jroll": 1, "where": 2, "shift_and": 3,
                 "min": 1, "mul": 1, "mix": 7,
                 "troll_sub": 1, "troll3": 1, "tadd": 1, "tmix": 7,
-                "rolladd": 2, "trolladd": 2, "trolladd8": 2}
+                "rolladd": 2, "trolladd": 2, "trolladd8": 2,
+                "vshift1": 3, "vshift6": 13, "rolladd2": 4, "rollvshift": 5}
 
 
 def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
     t = pl.program_id(0)
     transposed = kind in ("troll_sub", "troll3", "tadd", "tmix", "trolladd", "trolladd8")
+    padded = kind in ("vshift1", "vshift6", "rollvshift")  # scratch is 128 lanes wider
+    w = in_ref.shape[-1]
 
     @pl.when(t == 0)
     def _():
         seed = in_ref[...].astype(jnp.int32)
         if transposed:
             seed = seed.T  # one-time; differential timing cancels it
-        x_ref[...] = seed
-        y_ref[...] = seed ^ 0x55AA55
+        if padded:
+            x_ref[...] = jnp.concatenate([seed, seed[:, :128]], axis=1)
+            y_ref[...] = x_ref[...] ^ 0x55AA55
+        else:
+            x_ref[...] = seed
+            y_ref[...] = seed ^ 0x55AA55
 
-    x = _chain(kind, x_ref[...], y_ref[...], k)
-    x_ref[...] = x
+    x = _chain(kind, x_ref[:, :w] if padded else x_ref[...],
+               y_ref[:, :w] if padded else y_ref[...], k,
+               x_ref=x_ref)
+    if padded:
+        x_ref[:, :w] = x
+    else:
+        x_ref[...] = x
     if transposed:
         out_ref[0, :, :x.shape[1]] = x[:G, :]
     else:
@@ -156,6 +218,7 @@ def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
 def _run(src, kind: str, k: int, w: int = W):
     kern = functools.partial(_kernel, kind=kind, k=k)
     scratch = ((w, G) if kind in ("troll_sub", "troll3", "tadd", "tmix", "trolladd", "trolladd8")
+               else (G, w + 128) if kind in ("vshift1", "vshift6", "rollvshift")
                else (G, w))
     return pl.pallas_call(
         kern,
