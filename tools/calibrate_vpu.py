@@ -64,7 +64,21 @@ def _chain(kind: str, x, y, k: int, x_ref=None):
     (pipelining on the permute unit itself, or co-issue between the
     permute unit and the load-realign path).  If rollvshift iterates at
     rolladd's rate, the vshift rides free and the kernel can split its
-    shifts across both datapaths."""
+    shifts across both datapaths.
+
+    The mm-prefixed arms probe the MXU as a shift datapath: a lane shift
+    is a permutation matrix, so a 128x128 banded-permutation matmul
+    produces one shifted copy of a [R, 128]-slab view per pass (raw u8
+    pixels are bf16-exact; wider values need 8-bit digit passes).  Each
+    mm iteration moves G*W elements — the SAME element count as one
+    lane-roll of the [G, W] slab — so the printed Tops/s is directly
+    comparable to the roll arm's.  mmroll is the co-issue question the
+    round-3 probe never asked (it tested permute-vs-permute and
+    permute-vs-load, never permute-vs-MXU): one roll+add chain and one
+    INDEPENDENT matmul chain interleaved.  If mmroll iterates at the
+    SLOWER of (rolladd, mmbf16) alone, the two units overlap and the
+    roll-bound kernel can offload shift work to an otherwise-idle MXU;
+    if it lands on the serial sum, the MXU datapath is closed too."""
     w = x.shape[-1]
     if kind == "rolladd2":
         # control: 2 INDEPENDENT roll+add chains.  rate ~2x rolladd =>
@@ -180,14 +194,191 @@ OPS_PER_ITER = {"add": 1, "roll": 1, "roll3": 1, "roll_sub": 1,
                 "min": 1, "mul": 1, "mix": 7,
                 "troll_sub": 1, "troll3": 1, "tadd": 1, "tmix": 7,
                 "rolladd": 2, "trolladd": 2, "trolladd8": 2,
-                "vshift1": 3, "vshift6": 13, "rolladd2": 4, "rollvshift": 5}
+                "vshift1": 3, "vshift6": 13, "rolladd2": 4, "rollvshift": 5,
+                # mm arms: 1 "shift-equivalent" per iteration (one matmul
+                # pass moves G*W elements, like one lane-roll of the slab);
+                # mmroll = roll + add + one matmul shift-equivalent.
+                "mmbf16": 1, "mmf32": 1, "mmint8": 1, "mmroll": 3,
+                # step arms: 21 roll-unit-equivalents per iteration (the
+                # u8 luma step's shift engine: 3 rolls x 5 packed hbox
+                # slabs + 6 tap rolls); stepm replaces the 6 tap rolls
+                # with int8 slab-dots of the same element count, so the
+                # two arms print comparable "shift-engine Tops/s".
+                "stepv": 21, "stepm": 21, "stepmbf": 21}
+
+MM_KINDS = ("mmbf16", "mmf32", "mmint8", "mmroll")
+STEP_KINDS = ("stepv", "stepm", "stepmbf")
 
 
-def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
+def _mm_seed(r: int, dtype) -> jnp.ndarray:
+    """Layout-native [r, 128] seed (values 0..250, exact in every probe
+    dtype) — avoids a cross-lane reshape of the i32 input slab."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    return ((row * 7 + col * 13) % 251).astype(dtype)
+
+
+def _mm_perm(dtype) -> jnp.ndarray:
+    """128x128 shift-by-one permutation matrix (the banded-matmul form of
+    a lane roll restricted to one slab)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return (col == (row + 1) % 128).astype(dtype)
+
+
+def _mm_chain(kind: str, k: int, x_ref, y_ref, z_ref, w_ref, m_ref):
+    """k iterations of the mm-arm recurrences; returns a [G, 128] i32
+    value to consume (so no chain is dead-code-eliminated)."""
+    m = m_ref[...]
+    z, wv = z_ref[...], w_ref[...]
+    if kind == "mmroll":
+        x, y = x_ref[...], y_ref[...]
+        for _ in range(k):
+            x, y = pltpu.roll(x, 1, axis=x.ndim - 1) + y, x
+            z, wv = (
+                jnp.dot(z.astype(jnp.bfloat16), m,
+                        preferred_element_type=jnp.float32) + wv,
+                z,
+            )
+        x_ref[...], y_ref[...] = x, y
+        z_ref[...], w_ref[...] = z, wv
+        return x[:, :128] + z[:G, :].astype(jnp.int32)
+    for _ in range(k):
+        if kind == "mmbf16":
+            # realistic digit-pass shape: f32 accumulator state, bf16
+            # inputs (the per-pass convert is part of the real cost)
+            z, wv = (
+                jnp.dot(z.astype(jnp.bfloat16), m,
+                        preferred_element_type=jnp.float32) + wv,
+                z,
+            )
+        elif kind == "mmf32":
+            z, wv = jnp.dot(z, m, preferred_element_type=jnp.float32) + wv, z
+        elif kind == "mmint8":
+            acc = jnp.dot(z, m, preferred_element_type=jnp.int32)
+            z, wv = (acc + wv.astype(jnp.int32)).astype(jnp.int8), z
+        else:
+            raise ValueError(kind)
+    z_ref[...], w_ref[...] = z, wv
+    return z[:G, :].astype(jnp.int32)
+
+
+def _step_chain(kind: str, k: int, a_ref, a2_ref, b_ref, b2_ref,
+                m_ref=None, out_ref=None):
+    """k iterations of the kernel-step shift-engine mock.
+
+    Every arm carries the NON-NEGOTIABLE hbox rolls (3 rolls on a
+    [5G, W] slab = 15 roll-units, the packed smoothing stage) plus the
+    tap shifts of one [G, W] row batch:
+
+      stepv  — taps as 6 pltpu.rolls (the current kernel's engine)
+      stepm  — taps as int8 per-slab permutation matmuls: bias+convert,
+               then per 128-lane slab one [128, 6*128] bulk dot and two
+               [128, 3*128] neighbor-correction dots (the exact MAC
+               count a real 6-shift MXU offload pays), slice-stored
+      stepmbf — same structure in bf16 (the no-int8-tiling fallback)
+
+    The hbox rolls and the tap work are INDEPENDENT chains — modeling
+    the raw-carry-pipelined restructure where the next row's taps do
+    not feed this step's smoothing.  If stepm iterates faster than
+    stepv, the MXU hides the tap shifts behind the roll-bound hbox and
+    the kernel offload is worth building."""
+    w = b_ref.shape[-1]
+    ns = w // 128
+    a, a2 = a_ref[...], a2_ref[...]
+    b, b2 = b_ref[...], b2_ref[...]
+    if kind != "stepv":
+        m = m_ref[...]
+    for _ in range(k):
+        # hbox: 3 rolls + adds on the 5-slab stack (adds ride free)
+        a, a2 = pltpu.roll(a, 1, axis=1) + a2, a
+        a, a2 = pltpu.roll(a, 2, axis=1) + a2, a
+        a, a2 = pltpu.roll(a, 3, axis=1) + a2, a
+        if kind == "stepv":
+            acc = b2
+            for s in (1, 2, 3, w - 1, w - 2, w - 3):
+                acc = acc + pltpu.roll(b, s, axis=1)
+            b, b2 = acc, b
+        else:
+            if kind == "stepm":
+                xb = (b - 128).astype(jnp.int8)
+                acc_dt = jnp.int32
+            else:
+                xb = b.astype(jnp.bfloat16)
+                acc_dt = jnp.float32
+            for j in range(ns):
+                xj = xb[:, j * 128 : (j + 1) * 128]
+                xr = xb[:, ((j + 1) % ns) * 128 : ((j + 1) % ns) * 128 + 128]
+                xl = xb[:, ((j - 1) % ns) * 128 : ((j - 1) % ns) * 128 + 128]
+                bulk = jnp.dot(xj, m[:, :768], preferred_element_type=acc_dt)
+                rc = jnp.dot(xr, m[:, 768:1152],
+                             preferred_element_type=acc_dt)
+                lc = jnp.dot(xl, m[:, 1152:1536],
+                             preferred_element_type=acc_dt)
+                out_ref[:, j * 768 : j * 768 + 384] = bulk[:, :384] + rc
+                out_ref[:, j * 768 + 384 : (j + 1) * 768] = (
+                    bulk[:, 384:] + lc)
+            fresh = out_ref[:, :w]
+            if kind == "stepmbf":
+                fresh = fresh.astype(jnp.int32)
+            b, b2 = (fresh & 0xFF) + b2, b
+    a_ref[...], a2_ref[...] = a, a2
+    b_ref[...], b2_ref[...] = b, b2
+    return b[:, :128] + a[:G, :128]
+
+
+def _kernel(in_ref, out_ref, *scratch, kind, k):
     t = pl.program_id(0)
     transposed = kind in ("troll_sub", "troll3", "tadd", "tmix", "trolladd", "trolladd8")
     padded = kind in ("vshift1", "vshift6", "rollvshift")  # scratch is 128 lanes wider
     w = in_ref.shape[-1]
+
+    if kind in MM_KINDS:
+        if kind == "mmroll":
+            x_ref, y_ref, z_ref, w_ref, m_ref = scratch
+        else:
+            z_ref, w_ref, m_ref = scratch
+            x_ref = y_ref = None
+        r = z_ref.shape[0]
+
+        @pl.when(t == 0)
+        def _():
+            z_ref[...] = _mm_seed(r, z_ref.dtype)
+            row = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+            w_ref[...] = ((row * 11 + col * 5) % 241).astype(w_ref.dtype)
+            m_ref[...] = _mm_perm(m_ref.dtype)
+            if kind == "mmroll":
+                x_ref[...] = in_ref[...].astype(jnp.int32)
+                y_ref[...] = x_ref[...] ^ 0x55AA55
+
+        out_ref[0] = _mm_chain(kind, k, x_ref, y_ref, z_ref, w_ref, m_ref)
+        return
+
+    if kind in STEP_KINDS:
+        if kind == "stepv":
+            a_ref, a2_ref, b_ref, b2_ref = scratch
+            m_ref = o_ref = None
+        else:
+            a_ref, a2_ref, b_ref, b2_ref, m_ref, o_ref = scratch
+
+        @pl.when(t == 0)
+        def _():
+            a_ref[...] = jax.lax.broadcasted_iota(
+                jnp.int32, a_ref.shape, 1) % 251
+            a2_ref[...] = jax.lax.broadcasted_iota(
+                jnp.int32, a_ref.shape, 0) % 241
+            b_ref[...] = in_ref[...].astype(jnp.int32) & 0xFF
+            b2_ref[...] = b_ref[...] ^ 0x55AA55
+            if m_ref is not None:
+                blocks = [_mm_perm(m_ref.dtype)] * 12
+                m_ref[...] = jnp.concatenate(blocks, axis=1)
+
+        out_ref[0] = _step_chain(kind, k, a_ref, a2_ref, b_ref, b2_ref,
+                                 m_ref, o_ref)
+        return
+
+    x_ref, y_ref = scratch
 
     @pl.when(t == 0)
     def _():
@@ -217,9 +408,32 @@ def _kernel(in_ref, out_ref, x_ref, y_ref, *, kind, k):
 @functools.partial(jax.jit, static_argnames=("kind", "k", "w"))
 def _run(src, kind: str, k: int, w: int = W):
     kern = functools.partial(_kernel, kind=kind, k=k)
-    scratch = ((w, G) if kind in ("troll_sub", "troll3", "tadd", "tmix", "trolladd", "trolladd8")
-               else (G, w + 128) if kind in ("vshift1", "vshift6", "rollvshift")
-               else (G, w))
+    if kind in MM_KINDS:
+        r = G * w // 128  # slab-view rows: G*W elements per matmul pass
+        zdt = jnp.int8 if kind == "mmint8" else jnp.float32
+        mdt = (jnp.int8 if kind == "mmint8"
+               else jnp.float32 if kind == "mmf32" else jnp.bfloat16)
+        scratches = [pltpu.VMEM((r, 128), zdt), pltpu.VMEM((r, 128), zdt),
+                     pltpu.VMEM((128, 128), mdt)]
+        if kind == "mmroll":
+            scratches = [pltpu.VMEM((G, w), jnp.int32),
+                         pltpu.VMEM((G, w), jnp.int32)] + scratches
+    elif kind in STEP_KINDS:
+        scratches = [pltpu.VMEM((5 * G, w), jnp.int32),
+                     pltpu.VMEM((5 * G, w), jnp.int32),
+                     pltpu.VMEM((G, w), jnp.int32),
+                     pltpu.VMEM((G, w), jnp.int32)]
+        if kind != "stepv":
+            mdt = jnp.int8 if kind == "stepm" else jnp.bfloat16
+            odt = jnp.int32 if kind == "stepm" else jnp.float32
+            scratches += [pltpu.VMEM((128, 1536), mdt),
+                          pltpu.VMEM((G, (w // 128) * 768), odt)]
+    else:
+        scratch = ((w, G) if kind in ("troll_sub", "troll3", "tadd", "tmix", "trolladd", "trolladd8")
+                   else (G, w + 128) if kind in ("vshift1", "vshift6", "rollvshift")
+                   else (G, w))
+        scratches = [pltpu.VMEM(scratch, jnp.int32),
+                     pltpu.VMEM(scratch, jnp.int32)]
     return pl.pallas_call(
         kern,
         grid=(STEPS,),
@@ -228,8 +442,7 @@ def _run(src, kind: str, k: int, w: int = W):
         out_specs=pl.BlockSpec((1, G, 128), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((STEPS, G, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM(scratch, jnp.int32),
-                        pltpu.VMEM(scratch, jnp.int32)],
+        scratch_shapes=scratches,
         interpret=jax.default_backend() != "tpu",
     )(src[:, :w])
 
@@ -264,11 +477,14 @@ def main():
     for arm in kinds:
         kind, _, wspec = arm.partition("@")
         w = int(wspec) if wspec else W
+        # composite step arms carry 21 op-units per iteration — short
+        # chains keep the unrolled Mosaic body compilable in seconds
+        k1, k2 = (4, 12) if kind in STEP_KINDS else (K1, K2)
         best_rate = 0.0
         for _ in range(reps):
             try:
-                t1 = _time(src, kind, K1, w=w)
-                t2 = _time(src, kind, K2, w=w)
+                t1 = _time(src, kind, k1, w=w)
+                t2 = _time(src, kind, k2, w=w)
             except Exception as e:  # noqa: BLE001 — probe arms may not lower
                 print(f"  {arm:10s}: DOES NOT COMPILE "
                       f"({type(e).__name__}: {str(e).splitlines()[0][:120]})",
@@ -277,7 +493,7 @@ def main():
                 break
             if t2 <= t1:
                 continue
-            elems = (K2 - K1) * OPS_PER_ITER[kind] * STEPS * G * w
+            elems = (k2 - k1) * OPS_PER_ITER[kind] * STEPS * G * w
             best_rate = max(best_rate, elems / (t2 - t1))
         results[arm] = best_rate
         if best_rate < 0.0:
