@@ -204,10 +204,11 @@ OPS_PER_ITER = {"add": 1, "roll": 1, "roll3": 1, "roll_sub": 1,
                 # slabs + 6 tap rolls); stepm replaces the 6 tap rolls
                 # with int8 slab-dots of the same element count, so the
                 # two arms print comparable "shift-engine Tops/s".
-                "stepv": 21, "stepm": 21, "stepmbf": 21}
+                # steph is the hbox-only control (15 roll-units).
+                "stepv": 21, "stepm": 21, "stepmbf": 21, "steph": 15}
 
 MM_KINDS = ("mmbf16", "mmf32", "mmint8", "mmroll")
-STEP_KINDS = ("stepv", "stepm", "stepmbf")
+STEP_KINDS = ("stepv", "stepm", "stepmbf", "steph")
 
 
 def _mm_seed(r: int, dtype) -> jnp.ndarray:
@@ -263,68 +264,88 @@ def _mm_chain(kind: str, k: int, x_ref, y_ref, z_ref, w_ref, m_ref):
     return z[:G, :].astype(jnp.int32)
 
 
-def _step_chain(kind: str, k: int, a_ref, a2_ref, b_ref, b2_ref,
+def _step_chain(kind: str, k: int, a_ref, b_ref, b2_ref,
                 m_ref=None, out_ref=None):
     """k iterations of the kernel-step shift-engine mock.
 
-    Every arm carries the NON-NEGOTIABLE hbox rolls (3 rolls on a
-    [5G, W] slab = 15 roll-units, the packed smoothing stage) plus the
-    tap shifts of one [G, W] row batch:
+    Every arm carries the NON-NEGOTIABLE hbox work in the REAL kernel's
+    form: the sub3 rotate tree (3 dependent rolls + adds + one exact
+    sub, pallas_kernel._hbox7 _HBOX_SUB3) plus the writeback shift+mask,
+    on a [5, G, W] slab stack — 3-D like the kernel's own [9, B, S_pad]
+    stacks, single live chain.  (Both a 2-D [5G, W] spelling AND a
+    two-register Fibonacci swap on the 3-D stack crash or pathologically
+    slow the Mosaic backend — tools/isolate_step.py: bigslab/slab3d;
+    one swap-chain roll on [5,120,2048] took 143 s to compile.  The
+    real kernel's single-live-chain tree form compiles in seconds.)
+
+    On top of the hbox chain, each arm runs the tap engine of one
+    [G, W] row batch:
 
       stepv  — taps as 6 pltpu.rolls (the current kernel's engine)
-      stepm  — taps as int8 per-slab permutation matmuls: bias+convert,
-               then per 128-lane slab one [128, 6*128] bulk dot and two
-               [128, 3*128] neighbor-correction dots (the exact MAC
-               count a real 6-shift MXU offload pays), slice-stored
+      stepm  — taps as int8 per-slab permutation matmuls: per 128-lane
+               slab one [128, 6*128] bulk dot and two [128, 3*128]
+               neighbor-spill dots (the exact MAC count a real 6-shift
+               MXU offload pays), assembled EXACTLY as the kernel
+               would: lane-slice + mask + per-tap use
       stepmbf — same structure in bf16 (the no-int8-tiling fallback)
 
-    The hbox rolls and the tap work are INDEPENDENT chains — modeling
-    the raw-carry-pipelined restructure where the next row's taps do
-    not feed this step's smoothing.  If stepm iterates faster than
-    stepv, the MXU hides the tap shifts behind the roll-bound hbox and
-    the kernel offload is worth building."""
+    The hbox chain and the tap work are INDEPENDENT — modeling the
+    raw-carry-pipelined restructure where the next row's taps do not
+    feed this step's smoothing.  If stepm iterates faster than stepv,
+    the MXU hides the tap shifts behind the roll-bound hbox and the
+    kernel offload is worth building."""
     w = b_ref.shape[-1]
     ns = w // 128
-    a, a2 = a_ref[...], a2_ref[...]
+    a = a_ref[...]
     b, b2 = b_ref[...], b2_ref[...]
-    if kind != "stepv":
+    if kind not in ("stepv", "steph"):
         m = m_ref[...]
     for _ in range(k):
-        # hbox: 3 rolls + adds on the 5-slab stack (adds ride free)
-        a, a2 = pltpu.roll(a, 1, axis=1) + a2, a
-        a, a2 = pltpu.roll(a, 2, axis=1) + a2, a
-        a, a2 = pltpu.roll(a, 3, axis=1) + a2, a
+        # hbox sub3 tree + writeback, the kernel's exact smoothing form
+        # (15 roll-units per iteration on the 5-slab stack)
+        hb = a + pltpu.roll(a, 1, axis=a.ndim - 1)
+        hc = hb + pltpu.roll(hb, 2, axis=a.ndim - 1)
+        a = ((hc + pltpu.roll(hc, 3, axis=a.ndim - 1) - a) >> 4) & 0x00FF00FF
+        if kind == "steph":
+            continue  # hbox-only control (15 roll-units/iter)
         if kind == "stepv":
             acc = b2
             for s in (1, 2, 3, w - 1, w - 2, w - 3):
                 acc = acc + pltpu.roll(b, s, axis=1)
-            b, b2 = acc, b
+            b, b2 = acc & 0xFF, b
         else:
             if kind == "stepm":
-                xb = (b - 128).astype(jnp.int8)
+                xb = b.astype(jnp.int8)   # u8 wrap; & 0xFF recovers exactly
                 acc_dt = jnp.int32
             else:
                 xb = b.astype(jnp.bfloat16)
                 acc_dt = jnp.float32
+            taps = []
             for j in range(ns):
                 xj = xb[:, j * 128 : (j + 1) * 128]
-                xr = xb[:, ((j + 1) % ns) * 128 : ((j + 1) % ns) * 128 + 128]
-                xl = xb[:, ((j - 1) % ns) * 128 : ((j - 1) % ns) * 128 + 128]
+                jr, jl = (j + 1) % ns, (j - 1) % ns
+                xr = xb[:, jr * 128 : jr * 128 + 128]
+                xl = xb[:, jl * 128 : jl * 128 + 128]
                 bulk = jnp.dot(xj, m[:, :768], preferred_element_type=acc_dt)
                 rc = jnp.dot(xr, m[:, 768:1152],
                              preferred_element_type=acc_dt)
                 lc = jnp.dot(xl, m[:, 1152:1536],
                              preferred_element_type=acc_dt)
-                out_ref[:, j * 768 : j * 768 + 384] = bulk[:, :384] + rc
-                out_ref[:, j * 768 + 384 : (j + 1) * 768] = (
-                    bulk[:, 384:] + lc)
-            fresh = out_ref[:, :w]
-            if kind == "stepmbf":
-                fresh = fresh.astype(jnp.int32)
-            b, b2 = (fresh & 0xFF) + b2, b
-    a_ref[...], a2_ref[...] = a, a2
+                taps.append(jnp.concatenate(
+                    [bulk[:, :384] + rc, bulk[:, 384:] + lc], axis=-1))
+            # assemble the 6 [G, w] tap arrays the way the kernel consumes
+            # them: per-tap 128-lane slices concatenated across slabs
+            acc = b2
+            for ti in range(6):
+                tap = jnp.concatenate(
+                    [t[:, ti * 128 : (ti + 1) * 128] for t in taps], axis=-1)
+                if kind == "stepmbf":
+                    tap = tap.astype(jnp.int32)
+                acc = acc + (tap & 0xFF)
+            b, b2 = acc & 0xFF, b
+    a_ref[...] = a
     b_ref[...], b2_ref[...] = b, b2
-    return b[:, :128] + a[:G, :128]
+    return b[:, :128] + a[0, :, :128]
 
 
 def _kernel(in_ref, out_ref, *scratch, kind, k):
@@ -356,26 +377,29 @@ def _kernel(in_ref, out_ref, *scratch, kind, k):
         return
 
     if kind in STEP_KINDS:
-        if kind == "stepv":
-            a_ref, a2_ref, b_ref, b2_ref = scratch
-            m_ref = o_ref = None
+        if kind in ("stepv", "steph"):
+            a_ref, b_ref, b2_ref = scratch
+            m_ref = None
         else:
-            a_ref, a2_ref, b_ref, b2_ref, m_ref, o_ref = scratch
+            a_ref, b_ref, b2_ref, m_ref = scratch
 
         @pl.when(t == 0)
         def _():
-            a_ref[...] = jax.lax.broadcasted_iota(
-                jnp.int32, a_ref.shape, 1) % 251
-            a2_ref[...] = jax.lax.broadcasted_iota(
-                jnp.int32, a_ref.shape, 0) % 241
-            b_ref[...] = in_ref[...].astype(jnp.int32) & 0xFF
-            b2_ref[...] = b_ref[...] ^ 0x55AA55
+            # Seed the 3-D slab stack from the INPUT, never from a 3-D
+            # iota: broadcasted_iota on a [5, G, W] scratch feeding
+            # chained rolls crashes the Mosaic backend (isolate_step.py:
+            # roll2ch FAIL vs roll2chz OK — identical roll chain, the
+            # only difference is the init).
+            seed = in_ref[...].astype(jnp.int32) & 0xFF
+            a_ref[...] = jnp.stack([seed, seed ^ 0x55, (seed >> 1) & 0xFF,
+                                    seed ^ 0xA3, (seed + 17) & 0xFF])
+            b_ref[...] = seed
+            b2_ref[...] = (in_ref[...].astype(jnp.int32) >> 3) & 0xFF
             if m_ref is not None:
                 blocks = [_mm_perm(m_ref.dtype)] * 12
                 m_ref[...] = jnp.concatenate(blocks, axis=1)
 
-        out_ref[0] = _step_chain(kind, k, a_ref, a2_ref, b_ref, b2_ref,
-                                 m_ref, o_ref)
+        out_ref[0] = _step_chain(kind, k, a_ref, b_ref, b2_ref, m_ref)
         return
 
     x_ref, y_ref = scratch
@@ -419,15 +443,12 @@ def _run(src, kind: str, k: int, w: int = W):
             scratches = [pltpu.VMEM((G, w), jnp.int32),
                          pltpu.VMEM((G, w), jnp.int32)] + scratches
     elif kind in STEP_KINDS:
-        scratches = [pltpu.VMEM((5 * G, w), jnp.int32),
-                     pltpu.VMEM((5 * G, w), jnp.int32),
+        scratches = [pltpu.VMEM((5, G, w), jnp.int32),
                      pltpu.VMEM((G, w), jnp.int32),
                      pltpu.VMEM((G, w), jnp.int32)]
-        if kind != "stepv":
+        if kind not in ("stepv", "steph"):
             mdt = jnp.int8 if kind == "stepm" else jnp.bfloat16
-            odt = jnp.int32 if kind == "stepm" else jnp.float32
-            scratches += [pltpu.VMEM((128, 1536), mdt),
-                          pltpu.VMEM((G, (w // 128) * 768), odt)]
+            scratches += [pltpu.VMEM((128, 1536), mdt)]
     else:
         scratch = ((w, G) if kind in ("troll_sub", "troll3", "tadd", "tmix", "trolladd", "trolladd8")
                    else (G, w + 128) if kind in ("vshift1", "vshift6", "rollvshift")
