@@ -80,17 +80,23 @@ def _rot(a: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.concatenate([a[..., kk:], a[..., :kk]], axis=-1)
 
 
-def _shift_clamped(a: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
-    """tap[x] = a[..., clamp(x + k, 0, n - 1)] for x < n (values for x >= n
-    are bounded but unspecified).  Rotate + edge select — the vectorized
-    loadPixel (reference src/SangNom2.cpp:25-34)."""
-    if k == 0:
-        return a
-    rolled = _rot(a, k)
+def _clamp_edges(a: jnp.ndarray, rolled: jnp.ndarray, k: int,
+                 n: int) -> jnp.ndarray:
+    """Edge-clamp select over a circularly rotated copy: the vectorized
+    loadPixel (reference src/SangNom2.cpp:25-34).  ``rolled`` must equal
+    the circular rotate _rot(a, k) wherever the select keeps it."""
     col = _col_iota(a.shape)
     if k > 0:
         return jnp.where(col >= n - k, a[..., n - 1 : n], rolled)
     return jnp.where(col < -k, a[..., :1], rolled)
+
+
+def _shift_clamped(a: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
+    """tap[x] = a[..., clamp(x + k, 0, n - 1)] for x < n (values for x >= n
+    are bounded but unspecified).  Rotate + edge select."""
+    if k == 0:
+        return a
+    return _clamp_edges(a, _rot(a, k), k, n)
 
 
 def _taps7(a: jnp.ndarray, n: int) -> list[jnp.ndarray]:
@@ -100,6 +106,76 @@ def _taps7(a: jnp.ndarray, n: int) -> list[jnp.ndarray]:
     # (Mosaic issues selects cheaply; concatenate forces lane copies).
     # Keep the straightforward clamped form.
     return [_shift_clamped(a, k, n) for k in range(-3, 4)]
+
+
+# Trace-time switch: the per-step tap shifts ride the MXU as int8
+# permutation matmuls instead of the permute unit (A/B hook, round 3).
+# Rationale: the kernel is ROLL-bound and the permute unit is
+# throughput-bound with no second shift datapath on the VPU side
+# (results/coissue_probe_r03.txt) — but int8 permutation matmuls move
+# lanes at 3.5x the roll rate (mmint8 1.94 vs roll 0.56 Tops/s
+# element-rate) and the MXU co-issues ~55% free next to a roll chain
+# (mmroll arm, results/mxu_probe_r03.txt).  The step-shaped mock probe
+# could not answer the net question (Mosaic crashes on the probe's
+# scratch/init structure, results/mxu_step_probe_r03.txt), so the A/B
+# lives here in the production kernel.  u8 formats only (values 0..255
+# survive the int8 wrap; & 0xFF after the i32-accumulated dot recovers
+# them exactly).
+_TAPS_MXU = False
+
+# Tap order inside the matmul matrix: in-slab blocks 0..5, then the
+# right-neighbor spill blocks for the positive shifts, then the
+# left-neighbor spill blocks for the negative ones.
+_MXU_TAP_SHIFTS = (1, 2, 3, -1, -2, -3)
+
+
+def _mxu_taps_on(spec: KernelSpec) -> bool:
+    return _TAPS_MXU and not spec.is_float and spec.mask == 0xFF
+
+
+def _taps_mm_matrix() -> jnp.ndarray:
+    """[128, 1536] int8 shift-permutation matrix: for each tap shift s in
+    _MXU_TAP_SHIFTS an in-slab banded block (out[c] = in[c+s] where c+s
+    stays inside the 128-lane slab), then the neighbor-spill blocks
+    (rows of the adjacent slab that cross the boundary).  Exactly one 1
+    per output column across (in-slab + spill), so the i32-accumulated
+    int8 dot reproduces the lane value bit-for-bit modulo 256."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    blocks = [(row == col + s).astype(jnp.int8) for s in _MXU_TAP_SHIFTS]
+    blocks += [(row + 128 == col + s).astype(jnp.int8) for s in (1, 2, 3)]
+    blocks += [(row == col + s + 128).astype(jnp.int8) for s in (-1, -2, -3)]
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _taps7_mxu(a: jnp.ndarray, n: int, m: jnp.ndarray) -> list[jnp.ndarray]:
+    """`_taps7` with the six lane shifts computed on the MXU (see
+    _TAPS_MXU).  Per 128-lane slab: one [128, 768] in-slab dot plus two
+    [128, 384] neighbor-spill dots; modular neighbor indexing makes the
+    assembled value exactly the circular rotate _rot(a, s), and the same
+    `_clamp_edges` select as the roll path finishes the loadPixel
+    semantics — bit-exact by construction."""
+    W = a.shape[-1]
+    ns = W // 128
+    x8 = a.astype(jnp.int8)  # u8 wraps into int8; & 0xFF recovers exactly
+    outs = []
+    for j in range(ns):
+        jr, jl = (j + 1) % ns, (j - 1) % ns
+        bulk = jnp.dot(x8[..., j * 128 : (j + 1) * 128], m[:, :768],
+                       preferred_element_type=jnp.int32)
+        rc = jnp.dot(x8[..., jr * 128 : jr * 128 + 128], m[:, 768:1152],
+                     preferred_element_type=jnp.int32)
+        lc = jnp.dot(x8[..., jl * 128 : jl * 128 + 128], m[:, 1152:1536],
+                     preferred_element_type=jnp.int32)
+        outs.append(jnp.concatenate(
+            [bulk[..., :384] + rc, bulk[..., 384:] + lc], axis=-1))
+    taps = {0: a}
+    for ti, s in enumerate(_MXU_TAP_SHIFTS):
+        rolled = jnp.concatenate(
+            [o[..., ti * 128 : (ti + 1) * 128] for o in outs], axis=-1
+        ) & 0xFF
+        taps[s] = _clamp_edges(a, rolled, s, n)
+    return [taps[k] for k in range(-3, 4)]
 
 
 def _hbox7_exact(line: jnp.ndarray, S: int) -> jnp.ndarray:
@@ -365,8 +441,8 @@ def _finalize(v, sm, aaf, spec: KernelSpec) -> jnp.ndarray:
 
 
 def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
-            prev_ref=None, off_ref=None, *, spec, w, W_act, W_sm, S_clamp,
-            n_steps, aaf, weave_offset=None):
+            prev_ref=None, off_ref=None, mm_ref=None, *, spec, w, W_act,
+            W_sm, S_clamp, n_steps, aaf, weave_offset=None):
     t = pl.program_id(0)
     # rows stream in the narrow STORAGE dtype (u8/u16/f32) and widen to the
     # accumulator inside VMEM — 4x less DMA for 8-bit planes
@@ -397,6 +473,8 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
         pair_ref[...] = jnp.stack(v01)
         raw_ref[...] = raw_of(v01)
         sm_ref[...] = jnp.zeros(sm_ref.shape, sm_ref.dtype)
+        if mm_ref is not None:
+            mm_ref[...] = _taps_mm_matrix()
 
     # pair (b-1, b) values, computed by the previous step (or above at t=0)
     pv = [pair_ref[i] for i in range(18)]
@@ -407,7 +485,7 @@ def _kernel(k0_ref, k1_ref, k2_ref, out_ref, sm_ref, raw_ref, pair_ref,
     # fwd2_old; reference src/SangNom2.cpp:103-106 computes calc() on
     # mirrored tap triples) — so only row b+1's 7 taps and 2 predictors
     # are new work (measured +4.6%: results/pairreuse_ab_interleaved.txt).
-    nt = _taps7(k2, w)
+    nt = _taps7(k2, w) if mm_ref is None else _taps7_mxu(k2, w, mm_ref[...])
     v12 = pv[7:14] + nt + [
         pv[17], calc_sangnom(nt[4], nt[3], nt[2], spec),
         pv[15], calc_sangnom(nt[2], nt[3], nt[4], spec),
@@ -658,10 +736,16 @@ def _interp_chunk(keptp, *, aaf, spec, g, n_steps, w, W_act, W_sm, S_clamp):
     (sublane, lane) tiling rule for any g, and the sequential row walk is
     the leading (grid) dimension.
     """
-    kernel = functools.partial(
+    body = functools.partial(
         _kernel, spec=spec, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
         n_steps=n_steps, aaf=aaf,
     )
+    use_mm = _mxu_taps_on(spec)
+    if use_mm:
+        def kernel(k0, k1, k2, out, sm, raw, pair, mm):
+            body(k0, k1, k2, out, sm, raw, pair, mm_ref=mm)
+    else:
+        kernel = body
     row_view = lambda o: pl.BlockSpec(  # noqa: E731
         (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
         memory_space=pltpu.VMEM,
@@ -675,20 +759,23 @@ def _interp_chunk(keptp, *, aaf, spec, g, n_steps, w, W_act, W_sm, S_clamp):
         (1, g, W_act), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct((n_steps, g, W_act), keptp.dtype)
+    scratch = [
+        # smoothed row b-1 and raw row b (5 packed slabs for u8-C)
+        pltpu.VMEM((5 if _packed_smoothing(spec) else 9, g, W_sm),
+                   spec.acc_dtype),
+        pltpu.VMEM((5 if _packed_smoothing(spec) else 9, g, W_sm),
+                   spec.acc_dtype),
+        pltpu.VMEM((18, g, W_act), spec.acc_dtype),  # pair taps/preds
+    ]
+    if use_mm:
+        scratch.append(pltpu.VMEM((128, 1536), jnp.int8))  # tap perm matrix
     return pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[row_view(0), k1_view, row_view(2)],
         out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[
-            # smoothed row b-1 and raw row b (5 packed slabs for u8-C)
-            pltpu.VMEM((5 if _packed_smoothing(spec) else 9, g, W_sm),
-                       spec.acc_dtype),
-            pltpu.VMEM((5 if _packed_smoothing(spec) else 9, g, W_sm),
-                       spec.acc_dtype),
-            pltpu.VMEM((18, g, W_act), spec.acc_dtype),  # pair taps/preds
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
@@ -795,12 +882,19 @@ def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
         _kernel, spec=spec, w=w, W_act=W_act, W_sm=W_sm, S_clamp=S_clamp,
         n_steps=n_steps, aaf=aaf, weave_offset=offset,
     )
-    if per_frame_off:
-        # reorder: Pallas passes refs as (inputs..., out, scratch...)
-        def kernel(k0, k1, k2, off, out, sm, raw, pair, prev):
-            body(k0, k1, k2, out, sm, raw, pair, prev, off)
-    else:
-        kernel = body
+    use_mm = _mxu_taps_on(spec)
+    has_prev = offset == 1 or per_frame_off
+
+    def kernel(*refs):
+        # Pallas passes refs as (inputs..., out, scratch...); route the
+        # optional off input / prev / mm scratch to _kernel's keywords.
+        if per_frame_off:
+            k0, k1, k2, off, out, *sc = refs
+        else:
+            (k0, k1, k2, out, *sc), off = refs, None
+        prev = sc[3] if has_prev else None
+        mm = sc[3 + has_prev] if use_mm else None
+        body(k0, k1, k2, out, sc[0], sc[1], sc[2], prev, off, mm)
     row_view = lambda o: pl.BlockSpec(  # noqa: E731
         (1, g, W_act), lambda t, o=o: (t + o, 0, 0),
         memory_space=pltpu.VMEM,
@@ -822,8 +916,10 @@ def _deint_chunk(keptp, *, offset, aaf, spec, g, n_steps, w, W_act, W_sm,
         pltpu.VMEM((n_sm, g, W_sm), spec.acc_dtype),  # raw row b
         pltpu.VMEM((18, g, W_act), spec.acc_dtype),  # pair taps/preds
     ]
-    if offset == 1 or per_frame_off:
+    if has_prev:
         scratch.append(pltpu.VMEM((g, W_act), keptp.dtype))  # carried interp
+    if use_mm:
+        scratch.append(pltpu.VMEM((128, 1536), jnp.int8))  # tap perm matrix
     in_specs = [row_view(0), k1_view, row_view(2)]
     operands = [keptp, keptp, keptp]
     if per_frame_off:

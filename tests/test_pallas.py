@@ -150,6 +150,24 @@ def test_pallas_float_weave_dispatch(rng, monkeypatch):
     jax.clear_caches()  # drop the no-weave trace keyed like the default
 
 
+def test_pallas_taps_mxu_arm(rng, monkeypatch):
+    """The MXU tap-engine A/B hook (_TAPS_MXU: per-step tap shifts as int8
+    permutation matmuls + the shared _clamp_edges selects) stays bit-exact.
+    Perf-rejected on hardware (-2.8% order=1 dh / -0.5% true bob,
+    results/tapsmxu_ab_r03.txt — the serial dot+assembly runs at roll-par
+    and nothing overlaps on the critical path) but kept as the measured
+    closure of the MXU-datapath question.  Wide u8 planes (multi-slab
+    neighbor spills), dh weave both offsets, and mixed per-frame parity."""
+    import sangnom_tpu.ops.pallas_kernel as pk
+
+    monkeypatch.setattr(pk, "_TAPS_MXU", True)
+    _run("GRAY8", 500, 24, rng, order=1, aa=48, aac=48)
+    _run("YUV420P8", 48, 16, rng, n=3, order=0, dh=True,
+         parity=np.array([True, False, True]))
+    _run("GRAY8", 130, 10, rng, order=2, dh=True)
+    jax.clear_caches()  # drop programs traced with the patched hook
+
+
 def test_pallas_hbox_tree_arm(rng, monkeypatch):
     """The 4-roll rotate-tree integer hbox bulk (the _HBOX_SUB3=False A/B
     arm, superseded by the 3-roll cumulative-sub form at +5.2%/+5.6%,
