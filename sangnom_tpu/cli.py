@@ -12,6 +12,7 @@ Reads/writes YUV4MPEG2 on files or stdin/stdout ("-").
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -66,14 +67,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", default=None,
                    help="output framerate N:D (default: input stream's, "
                    "doubled under --bob)")
+    p.add_argument("--cache-dir", default=os.environ.get(
+                       "SANGNOM_TPU_CACHE_DIR"),
+                   help="persistent XLA compilation cache directory: "
+                   "repeat invocations skip the first-call compile "
+                   "(~20-40s on TPU). Default: $SANGNOM_TPU_CACHE_DIR, "
+                   "else off. The AviSynth host amortizes compile cost by "
+                   "keeping the process resident; this is the one-shot-CLI "
+                   "analogue.")
     p.add_argument("--version", action="version",
                    version=f"sangnom-tpu {__version__}")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
-    import os
-
     if os.environ.get("JAX_PLATFORMS"):
         # honor the user's platform choice even where a site plugin (e.g.
         # the axon TPU tunnel) force-overrides the jax config at import
@@ -82,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     args = build_parser().parse_args(argv)
+    if args.cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        # cache every program: the filter dispatches a handful of jits and
+        # even the small ones pay trace+compile on a cold process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     src = sys.stdin.buffer if args.input == "-" else args.input
     dst = sys.stdout.buffer if args.output == "-" else args.output
 

@@ -82,6 +82,34 @@ def test_cli_end_to_end(rng, tmp_path):
     assert "frames 32x16" in res.stderr
 
 
+def test_cli_cache_dir_populates_and_output_identical(rng, tmp_path):
+    """--cache-dir enables the persistent XLA compilation cache: the first
+    run populates it, the second run (fresh process, cold jit caches) must
+    produce byte-identical output while loading compiled programs from it."""
+    fmt = get_format("YUV420P8")
+    planes = [np.stack([p]) for p in make_planes(rng, 32, 16, fmt)]
+    clip = Clip.from_numpy(planes, fmt)
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), clip)
+    cache = tmp_path / "xla_cache"
+
+    def run(dst):
+        res = subprocess.run(
+            [sys.executable, "-m", "sangnom_tpu", str(src), str(dst),
+             "--order", "1", "--dh", "--cache-dir", str(cache)],
+            capture_output=True, text=True, timeout=600,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert res.returncode == 0, res.stderr
+
+    run(tmp_path / "out1.y4m")
+    entries = list(cache.iterdir())
+    assert entries, "cache dir not populated"
+    run(tmp_path / "out2.y4m")
+    assert (tmp_path / "out1.y4m").read_bytes() == \
+        (tmp_path / "out2.y4m").read_bytes()
+
+
 # -- raw planar I/O -----------------------------------------------------------
 @pytest.mark.parametrize("fmt_name", ["GRAYS", "YUVA444P16", "YUV420P8"])
 def test_raw_roundtrip(rng, fmt_name):
