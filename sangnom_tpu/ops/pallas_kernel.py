@@ -375,29 +375,40 @@ def _error_maps(v: list[jnp.ndarray], spec: KernelSpec, w: int,
 
 # Two u8 error maps share one i32 lane through the smoothing stage (C
 # numerics only): every smoothing intermediate of a u8 map fits 16 bits
-# (vertical 3-sum <= 3*255 = 765, hbox sum <= 7*765 = 5355), so maps i and
-# i+5 ride one slab as (map_i << 16) | map_(i+5) and the vertical adds +
-# hbox rotate tree — the measured binding op count (compare
-# results/decay_ab_interleaved.txt, a smoothing-stage cut that paid ~1:1,
-# with results/rowcarry_ab_interleaved.txt, a prepare-stage cut that paid
+# (map values are bounded by the STORAGE mask M = 0xFF; vertical 3-sum
+# <= 3*255 = 765, worst hbox intermediate is the _HBOX_SUB3 bulk
+# c + rot(c, -3) <= 8*765 = 6120), so maps i and i+5 ride one slab as
+# (map_i << 16) | map_(i+5) and the vertical adds + hbox rotate tree —
+# the measured binding op count (compare results/decay_ab_interleaved.txt,
+# a smoothing-stage cut that paid ~1:1, with
+# results/rowcarry_ab_interleaved.txt, a prepare-stage cut that paid
 # nothing) — run on 5 slabs instead of 9.  Fields never interact: sums
 # stay < 2^16 per field, and the packed writeback (h >> 4) & 0x00FF00FF
 # wraps each field to u8 exactly like the scalar (sum >> 4) & 0xFF (bits
-# 4..11 of each field are untouched by the other's).  u16 sums need more
-# than 16 bits and the SSE2-numerics saturating writeback is per-field
-# nonlinear — both keep the unpacked path.
+# 4..11 of each field are untouched by the other's).
+#
+# u8-ONLY, and not just for 16-bit data: a "pack 10/12-bit too" variant
+# was analyzed and closed (round 3).  The bound that matters is the
+# STORAGE mask, not the nominal depth — the reference templates on
+# ComponentSize alone (src/SangNom2.cpp:314-318), so every >8-bit format
+# wraps at 0xFFFF, and the wrapped predictor (4*p1 + 5*p2 - p3) >> 3 &
+# 0xFFFF reaches 65534 from in-range 10-bit pixels (p1 = p2 = 0, p3 = 9
+# gives s = -9 -> 65534; verified against tests/scalar_model._calc_int),
+# putting map values 3/5 at ~2^16 and overflowing a 16-bit field at the
+# first vertical sum for ANY input range.  The SSE2-numerics saturating
+# writeback is per-field nonlinear — it keeps the unpacked path too.
 def _packed_smoothing(spec: KernelSpec) -> bool:
     return not spec.is_float and not spec.sse2 and spec.mask == 0xFF
 
 
 def _pack_maps(m: jnp.ndarray) -> jnp.ndarray:
-    """[9, ...] raw u8 error maps -> [5, ...] packed slabs."""
+    """[9, ...] raw error maps -> [5, ...] packed slabs."""
     return jnp.concatenate([(m[0:4] << 16) | m[5:9], m[4:5]], axis=0)
 
 
 def _unpack_sm(sm_p: jnp.ndarray) -> list[jnp.ndarray]:
     """[5, ...] packed smoothed slabs -> the 9 maps (writeback already
-    masked each field to 0..255, so plain shift/mask extracts)."""
+    masked each field to the pixel range, so plain shift/mask extracts)."""
     hi = sm_p[0:4] >> 16
     lo = sm_p[0:4] & 0xFFFF
     return [hi[0], hi[1], hi[2], hi[3], sm_p[4],
