@@ -46,7 +46,7 @@ for _bits in (10, 12, 14, 16):
     _FORMAT_TO_COLORSPACE[f"GRAY{_bits}"] = f"monop{_bits}"
 
 
-from sangnom_tpu.io.common import _open  # noqa: E402
+from sangnom_tpu.io.common import CHUNK_FRAMES, _open, readinto_full  # noqa: E402
 
 
 def _parse_header(fh) -> dict:
@@ -88,36 +88,50 @@ def _parse_header(fh) -> dict:
 
 
 def _read_frame_block(fh, info, max_frames):
-    """Read up to max_frames frames after the header; [] at EOF."""
-    frames = []
-    while max_frames is None or len(frames) < max_frames:
-        line = fh.readline()
-        if not line:
+    """Read up to max_frames frames after the header, directly into
+    preallocated per-plane arrays ([n, ph, pw], stream dtype) — ONE copy
+    from the stream (readinto), no per-frame staging buffers (the old
+    read+frombuffer+stack form measured 2x slower at 1080p,
+    results/io_bench_r03.txt).  Returns [] at immediate EOF."""
+    dt, geom = info["dt"], info["geom"]
+    fbytes = [pw * ph * dt.itemsize for pw, ph in geom]
+    chunks = []  # per-chunk lists of per-plane arrays
+    total = 0
+    while max_frames is None or total < max_frames:
+        cap = (CHUNK_FRAMES if max_frames is None
+               else min(CHUNK_FRAMES, max_frames - total))
+        arrs = [np.empty((cap, ph, pw), dt) for pw, ph in geom]
+        views = [memoryview(a).cast("B") for a in arrs]
+        got = 0
+        eof = False
+        for i in range(cap):
+            line = fh.readline()
+            if not line:
+                eof = True
+                break
+            if not line.startswith(b"FRAME"):
+                raise ValueError(f"expected FRAME marker, got {line[:20]!r}")
+            for v, fb in zip(views, fbytes):
+                if readinto_full(fh, v[i * fb : (i + 1) * fb]) < fb:
+                    raise ValueError("truncated y4m frame")
+            got += 1
+        if got:
+            chunks.append([a[:got] for a in arrs])
+            total += got
+        if eof or got < cap:
             break
-        if not line.startswith(b"FRAME"):
-            raise ValueError(f"expected FRAME marker, got {line[:20]!r}")
-        buf = fh.read(info["frame_bytes"])
-        if len(buf) < info["frame_bytes"]:
-            raise ValueError("truncated y4m frame")
-        planes, off = [], 0
-        for pw, ph in info["geom"]:
-            planes.append(
-                np.frombuffer(buf, info["dt"], count=pw * ph, offset=off)
-                .reshape(ph, pw)
-            )
-            off += pw * ph * info["dt"].itemsize
-        frames.append(planes)
-    return frames
+    if not chunks:
+        return []
+    if len(chunks) == 1:
+        return chunks[0]
+    return [np.concatenate([c[k] for c in chunks]) for k in range(len(geom))]
 
 
-def _to_clip(frames, info) -> Clip:
-    fmt = info["fmt"]
-    stacked = [
-        np.stack([fr[i] for fr in frames]).astype(fmt.dtype)
-        for i in range(fmt.num_planes)
-    ]
+def _to_clip(planes, info) -> Clip:
+    # Clip.from_numpy converts the stream dtype ('<u2' for >8-bit) to the
+    # storage dtype during the single device-put copy.
     return Clip.from_numpy(
-        stacked, fmt, tff=(info["interlace"] != "b"),
+        planes, info["fmt"], tff=(info["interlace"] != "b"),
         props={"y4m_interlace": info["interlace"], "y4m_fps": info["fps"],
                "y4m_aspect": info["aspect"],
                "y4m_colorspace": info["colorspace"]},
@@ -129,10 +143,10 @@ def read_y4m(f: Union[str, BinaryIO], max_frames: int | None = None) -> Clip:
     fh, close = _open(f, "rb")
     try:
         info = _parse_header(fh)
-        frames = _read_frame_block(fh, info, max_frames)
-        if not frames:
+        planes = _read_frame_block(fh, info, max_frames)
+        if not planes:
             raise ValueError("y4m stream contains no frames")
-        return _to_clip(frames, info)
+        return _to_clip(planes, info)
     finally:
         if close:
             fh.close()
@@ -157,12 +171,13 @@ def iter_y4m(
                 window if max_frames is None
                 else min(window, max_frames - total)
             )
-            frames = _read_frame_block(fh, info, take)
-            if not frames:
+            planes = _read_frame_block(fh, info, take)
+            if not planes:
                 return
-            total += len(frames)
-            yield _to_clip(frames, info)
-            if len(frames) < take:
+            got = planes[0].shape[0]
+            total += got
+            yield _to_clip(planes, info)
+            if got < take:
                 return
     finally:
         if close:
@@ -201,10 +216,18 @@ def write_y4m(f: Union[str, BinaryIO], clip: Clip,
 
 def write_y4m_frames(fh: BinaryIO, clip: Clip) -> None:
     """Append FRAME records to an already-headered stream (the incremental
-    half of write_y4m — used by windowed/streaming processing)."""
-    arrs = [np.asarray(p) for p in clip.planes]
+    half of write_y4m — used by windowed/streaming processing).
+
+    Each plane is fetched and converted to the stream dtype ONCE for the
+    whole clip; the per-frame writes hand the file the plane's own buffer
+    (zero-copy — the old per-frame astype+tobytes staging measured ~2x
+    slower at 1080p, results/io_bench_r03.txt)."""
     dt = np.dtype("<u2") if clip.format.component_size == 2 else np.dtype("u1")
+    arrs = [
+        np.ascontiguousarray(np.asarray(p)).astype(dt, copy=False)
+        for p in clip.planes
+    ]
     for n in range(clip.num_frames):
         fh.write(b"FRAME\n")
         for p in arrs:
-            fh.write(np.ascontiguousarray(p[n]).astype(dt).tobytes())
+            fh.write(p[n].data)
