@@ -12,7 +12,7 @@ import numpy as np
 
 from sangnom_tpu.core.clip import Clip
 from sangnom_tpu.core.formats import VideoFormat, get_format
-from sangnom_tpu.io.common import CHUNK_FRAMES, _open, readinto_full
+from sangnom_tpu.io.common import _open, read_frames_chunked
 
 
 def frame_size_bytes(fmt: VideoFormat, width: int, height: int) -> int:
@@ -37,42 +37,14 @@ def read_raw(
     fmt = get_format(format) if isinstance(format, str) else format
     geom = [fmt.plane_dims(width, height, i) for i in range(fmt.num_planes)]
     dt = fmt.dtype.newbyteorder("<") if fmt.component_size > 1 else fmt.dtype
-    fbytes = [pw * ph * dt.itemsize for pw, ph in geom]
 
     fh, close = _open(f, "rb")
     try:
-        chunks = []
-        total = 0
-        while max_frames is None or total < max_frames:
-            cap = (CHUNK_FRAMES if max_frames is None
-                   else min(CHUNK_FRAMES, max_frames - total))
-            arrs = [np.empty((cap, ph, pw), dt) for pw, ph in geom]
-            views = [memoryview(a).cast("B") for a in arrs]
-            got = 0
-            eof = False
-            for i in range(cap):
-                for k, (v, fb) in enumerate(zip(views, fbytes)):
-                    n = readinto_full(fh, v[i * fb : (i + 1) * fb])
-                    if n < fb:
-                        if k == 0 and n == 0:
-                            eof = True
-                            break
-                        raise ValueError("truncated raw frame")
-                if eof:
-                    break
-                got += 1
-            if got:
-                chunks.append([a[:got] for a in arrs])
-                total += got
-            if eof or got < cap:
-                break
-        if not chunks:
-            raise ValueError("raw stream contains no complete frames")
-        planes = (
-            chunks[0] if len(chunks) == 1
-            else [np.concatenate([c[k] for c in chunks])
-                  for k in range(len(geom))]
+        planes = read_frames_chunked(
+            fh, geom, dt, max_frames, truncated_msg="truncated raw frame",
         )
+        if not planes:
+            raise ValueError("raw stream contains no complete frames")
         return Clip.from_numpy(planes, fmt, **clip_kw)
     finally:
         if close:

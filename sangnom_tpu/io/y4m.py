@@ -46,7 +46,7 @@ for _bits in (10, 12, 14, 16):
     _FORMAT_TO_COLORSPACE[f"GRAY{_bits}"] = f"monop{_bits}"
 
 
-from sangnom_tpu.io.common import CHUNK_FRAMES, _open, readinto_full  # noqa: E402
+from sangnom_tpu.io.common import _open, read_frames_chunked  # noqa: E402
 
 
 def _parse_header(fh) -> dict:
@@ -88,43 +88,22 @@ def _parse_header(fh) -> dict:
 
 
 def _read_frame_block(fh, info, max_frames):
-    """Read up to max_frames frames after the header, directly into
-    preallocated per-plane arrays ([n, ph, pw], stream dtype) — ONE copy
-    from the stream (readinto), no per-frame staging buffers (the old
-    read+frombuffer+stack form measured 2x slower at 1080p,
-    results/io_bench_r03.txt).  Returns [] at immediate EOF."""
-    dt, geom = info["dt"], info["geom"]
-    fbytes = [pw * ph * dt.itemsize for pw, ph in geom]
-    chunks = []  # per-chunk lists of per-plane arrays
-    total = 0
-    while max_frames is None or total < max_frames:
-        cap = (CHUNK_FRAMES if max_frames is None
-               else min(CHUNK_FRAMES, max_frames - total))
-        arrs = [np.empty((cap, ph, pw), dt) for pw, ph in geom]
-        views = [memoryview(a).cast("B") for a in arrs]
-        got = 0
-        eof = False
-        for i in range(cap):
-            line = fh.readline()
-            if not line:
-                eof = True
-                break
-            if not line.startswith(b"FRAME"):
-                raise ValueError(f"expected FRAME marker, got {line[:20]!r}")
-            for v, fb in zip(views, fbytes):
-                if readinto_full(fh, v[i * fb : (i + 1) * fb]) < fb:
-                    raise ValueError("truncated y4m frame")
-            got += 1
-        if got:
-            chunks.append([a[:got] for a in arrs])
-            total += got
-        if eof or got < cap:
-            break
-    if not chunks:
-        return []
-    if len(chunks) == 1:
-        return chunks[0]
-    return [np.concatenate([c[k] for c in chunks]) for k in range(len(geom))]
+    """Read up to max_frames frames after the header into per-plane
+    arrays ([n, ph, pw], stream dtype) — the shared single-copy readinto
+    path (io.common.read_frames_chunked).  Returns [] at immediate EOF."""
+
+    def frame_marker() -> bool:
+        line = fh.readline()
+        if not line:
+            return False
+        if not line.startswith(b"FRAME"):
+            raise ValueError(f"expected FRAME marker, got {line[:20]!r}")
+        return True
+
+    return read_frames_chunked(
+        fh, info["geom"], info["dt"], max_frames,
+        prologue=frame_marker, truncated_msg="truncated y4m frame",
+    )
 
 
 def _to_clip(planes, info) -> Clip:

@@ -447,3 +447,80 @@ def test_y4m_chroma_siting_tag_roundtrip(rng):
     buf2 = io.BytesIO()
     write_y4m(buf2, out)
     assert b"C420mpeg2" in bytes(buf2.getbuffer()[:64])
+
+
+# -- chunked reader internals (io.common.read_frames_chunked) -----------------
+def _make_y4m_bytes(rng, n_frames):
+    fmt = get_format("YUV420P8")
+    planes = [
+        rng.integers(0, 256, (n_frames, 16 >> s, 32 >> s), dtype=np.uint8)
+        for s in (0, 1, 1)
+    ]
+    clip = Clip.from_numpy(planes, fmt)
+    buf = io.BytesIO()
+    write_y4m(buf, clip)
+    return buf.getvalue(), planes
+
+
+@pytest.mark.parametrize("n_frames", [7, 6])  # 6 == EOF exactly at a
+def test_y4m_multichunk_read(rng, monkeypatch, n_frames):  # chunk boundary
+    """Force the multi-chunk concatenate path (and the EOF-at-exact-chunk-
+    boundary case) by shrinking the chunk byte budget to 3 frames."""
+    from sangnom_tpu.io import common
+
+    data, planes = _make_y4m_bytes(rng, n_frames)
+    frame_bytes = 32 * 16 * 3 // 2
+    monkeypatch.setattr(common, "CHUNK_BYTES", 3 * frame_bytes)
+    back = read_y4m(io.BytesIO(data))
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(back.planes[i]), planes[i])
+
+
+def test_y4m_multichunk_truncated(rng, monkeypatch):
+    from sangnom_tpu.io import common
+
+    data, _ = _make_y4m_bytes(rng, 5)
+    frame_bytes = 32 * 16 * 3 // 2
+    monkeypatch.setattr(common, "CHUNK_BYTES", 2 * frame_bytes)
+    with pytest.raises(ValueError, match="truncated y4m frame"):
+        read_y4m(io.BytesIO(data[:-10]))
+
+
+class _ReadOnlyDribble:
+    """File-like with NO readinto and bounded short read()s — the
+    readinto_full fallback path (loops until filled; None at exhaustion
+    exercises the non-blocking-EOF contract)."""
+
+    def __init__(self, data, max_read=7):
+        self._fh = io.BytesIO(data)
+        self._max = max_read
+
+    def readline(self):
+        return self._fh.readline()
+
+    def read(self, n=-1):
+        out = self._fh.read(min(n, self._max) if n >= 0 else self._max)
+        return out if out else None
+
+    def close(self):
+        self._fh.close()
+
+
+def test_y4m_read_fallback_short_reads(rng):
+    data, planes = _make_y4m_bytes(rng, 3)
+    back = read_y4m(_ReadOnlyDribble(data))
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(back.planes[i]), planes[i])
+
+
+def test_raw_multichunk_read(rng, monkeypatch):
+    from sangnom_tpu.io import common, read_raw, write_raw
+
+    fmt = get_format("GRAY8")
+    planes = [rng.integers(0, 256, (9, 8, 16), dtype=np.uint8)]
+    clip = Clip.from_numpy(planes, fmt)
+    buf = io.BytesIO()
+    write_raw(buf, clip)
+    monkeypatch.setattr(common, "CHUNK_BYTES", 2 * 8 * 16)
+    back = read_raw(io.BytesIO(buf.getvalue()), fmt, 16, 8)
+    np.testing.assert_array_equal(np.asarray(back.planes[0]), planes[0])
