@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--window", type=int, default=None,
                    help="stream in windows of N frames (bounded memory for "
                    "long inputs; default: whole clip at once)")
+    p.add_argument("--overlap-write", action="store_true",
+                   help="with --window: emit finished windows from a "
+                   "writer thread, overlapping window k's device fetch + "
+                   "y4m serialization with window k+1's read/parse "
+                   "(byte-identical output; the single writer preserves "
+                   "emission order)")
     p.add_argument("--fps", default=None,
                    help="output framerate N:D (default: input stream's, "
                    "doubled under --bob)")
@@ -122,6 +128,8 @@ def main(argv: list[str] | None = None) -> int:
             fps = (num, den)
         else:
             fps = None
+        if args.overlap_write and args.window is None:
+            raise ValueError("--overlap-write requires --window")
         if args.window is not None:
             return _run_windowed(src, dst, args, fps, t0)
         clip = read_y4m(src, max_frames=args.frames)
@@ -259,6 +267,49 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
         state["out"] += out_clip.num_frames
         state["shape"] = (out_clip.width, out_clip.height)
 
+    # --overlap-write: a single writer THREAD runs emit(), so window k's
+    # device fetch (np.asarray releases the GIL on the device->host wait)
+    # and y4m serialization overlap window k+1's read/parse on the main
+    # thread.  FIFO queue + one writer preserves emission order exactly —
+    # output stays byte-identical (pinned by tests).  Bounded queue keeps
+    # the same backpressure as serial emission; writer exceptions are
+    # re-raised on the main thread (the writer then drains so the
+    # producer never blocks on a dead consumer).
+    emit_err: list = []
+    wq = wthread = None
+    if args.overlap_write:
+        import queue as _queue
+        import threading
+
+        wq = _queue.Queue(maxsize=2)
+
+        def _writer_loop():
+            drain = False
+            while True:
+                item = wq.get()
+                if item is None:
+                    return
+                if drain:
+                    continue
+                try:
+                    emit(*item)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    emit_err.append(e)
+                    drain = True
+
+        wthread = threading.Thread(
+            target=_writer_loop, name="sangnom-writer", daemon=True
+        )
+        wthread.start()
+
+    def submit(out_clip, in_props):
+        if wq is None:
+            emit(out_clip, in_props)
+            return
+        if emit_err:
+            raise emit_err[0]
+        wq.put((out_clip, in_props))
+
     pending = None
     inflight = None  # one-window software pipeline (see below)
     try:
@@ -269,7 +320,7 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
                 if pending is not None:
                     feed = Clip.concat(pending, w[0:1])  # 1-frame lookahead
                     out = fone(feed)
-                    emit(out[0 : 2 * pending.num_frames], pending.props)
+                    submit(out[0 : 2 * pending.num_frames], pending.props)
                 pending = w
             else:
                 # JAX dispatch is asynchronous: launch window k, then let the
@@ -278,19 +329,29 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
                 # order (byte-identical output), one extra window in flight.
                 out = fone(w)
                 if inflight is not None:
-                    emit(*inflight)
+                    submit(*inflight)
                 inflight = (out, w.props)
         if args.bob and pending is not None:
             # final window: the degenerate last pairing, as unwindowed
-            emit(fone(pending), pending.props)
+            submit(fone(pending), pending.props)
         if inflight is not None:
-            emit(*inflight)
+            submit(*inflight)
+        if wthread is not None:
+            wq.put(None)
+            wthread.join()
+            wthread = None
+            if emit_err:
+                raise emit_err[0]
         if state["in"] == 0:
             raise ValueError("y4m stream contains no frames")
     except (SangNomError, ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     finally:
+        if wthread is not None:
+            # exception path: stop the writer before closing its file
+            wq.put(None)
+            wthread.join()
         if state["close"] and state["fh"] is not None:
             state["fh"].close()
     dt = time.perf_counter() - t0

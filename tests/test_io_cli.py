@@ -421,7 +421,8 @@ def test_cli_windowed_matches_whole_clip(rng, tmp_path, mode):
     env = {**os.environ, "JAX_PLATFORMS": "cpu"}
 
     outs = {}
-    for tag, extra in (("whole", []), ("win", ["--window", "3"])):
+    for tag, extra in (("whole", []), ("win", ["--window", "3"]),
+                       ("winov", ["--window", "3", "--overlap-write"])):
         dst = tmp_path / f"{tag}.y4m"
         res = subprocess.run(
             [sys.executable, "-m", "sangnom_tpu", str(src), str(dst),
@@ -430,7 +431,35 @@ def test_cli_windowed_matches_whole_clip(rng, tmp_path, mode):
         )
         assert res.returncode == 0, res.stderr
         outs[tag] = dst.read_bytes()
-    assert outs["whole"] == outs["win"]
+    assert outs["whole"] == outs["win"] == outs["winov"]
+
+
+def test_cli_overlap_write_errors(rng, tmp_path):
+    """Writer-thread failures surface as the clean exit-2 contract, and
+    --overlap-write without --window is rejected up front."""
+    import os
+
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([np.zeros((3, 8, 16), np.uint8)], fmt))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src),
+         str(tmp_path / "no_such_dir" / "o.y4m"), "--opt", "0",
+         "--window", "1", "--overlap-write"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 2
+    assert res.stderr.strip().startswith("error:")
+    assert "Traceback" not in res.stderr
+
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src),
+         str(tmp_path / "o.y4m"), "--overlap-write"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 2
+    assert "--overlap-write requires --window" in res.stderr
 
 
 def test_y4m_chroma_siting_tag_roundtrip(rng):
