@@ -31,15 +31,20 @@ and the sharded backends) instead zero-defines every out-of-plane pool cell
 this mode for the first processed plane of the first frame.
 
 Numerics (maps, smoothing, priority select) are imported from
-ops/reference.py — this module adds only the pool state threading.
+ops/reference.py — this module adds the pool state threading plus a Pallas
+twin of the smoothing pass (`smooth_pool_pallas`, selected by ``opt`` like
+the normal path's backends and bit-identical to the scan by construction).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Union
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from sangnom_tpu.core.formats import VideoFormat
 from sangnom_tpu.core.geometry import (
@@ -48,10 +53,154 @@ from sangnom_tpu.core.geometry import (
     buffer_stride_elems,
     scaled_aa_thresholds,
 )
-from sangnom_tpu.ops.primitives import KernelSpec
+from sangnom_tpu.ops.primitives import KernelSpec, smooth_writeback
 from sangnom_tpu.ops.reference import _error_maps, finalize_select, smooth_scan
 
 Offset = Union[int, jax.Array]
+
+
+def _pool_smooth_kernel(init_ref, r0_ref, r1_ref, out_ref, sm_ref, *,
+                        spec: KernelSpec, S: int, packed: bool, R: int):
+    """Grid step t smooths buffer rows t*R+1 .. t*R+R: for each, the
+    vertical 3-sum of (carried smoothed row, raw rows b and b+1) then the
+    7-tap horizontal box with taps clamped at the buffer stride S
+    (reference src/SangNom2.cpp:129-152; the jnp twin is
+    ops.reference.smooth_scan's step).  R rows per step amortize the
+    per-step DMA latency (the recursion itself is serial — the R-row body
+    is a static unroll on the carried row).  Columns >= S are
+    stride-rounding padding: never read by a valid column's clamped taps,
+    discarded by the caller."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        sm_ref[...] = init_ref[0]
+
+    sm = sm_ref[...]
+    col = None
+
+    def tap(line, k):
+        W = line.shape[-1]
+        kk = k % W
+        rolled = jnp.concatenate([line[..., kk:], line[..., :kk]], axis=-1)
+        if k > 0:
+            return jnp.where(col >= S - k, line[..., S - 1 : S], rolled)
+        return jnp.where(col < -k, line[..., :1], rolled)
+
+    for i in range(R):
+        line = sm + r0_ref[i] + r1_ref[i]
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, line.shape,
+                                           line.ndim - 1)
+        # left-to-right tap association, as the reference's C expression
+        # (and ops.reference._hbox7) — float exactness
+        h = tap(line, -3)
+        for k in (-2, -1):
+            h = h + tap(line, k)
+        h = h + line
+        for k in (1, 2, 3):
+            h = h + tap(line, k)
+        if packed:
+            # per-field (>>4) & 0xFF — ops.pallas_kernel._packed_smoothing
+            sm = jnp.right_shift(h, 4) & 0x00FF00FF
+        else:
+            sm = smooth_writeback(h, spec)
+        out_ref[i] = sm
+    sm_ref[...] = sm
+
+
+# Rows per grid step for `smooth_pool_pallas`.  R>1 would amortize
+# per-step DMA latency, but the v5e sweep (results/poolrows_ab_r03.txt,
+# interleaved, bit-identical arms) shows R=1 is BEST (155 vs 150 fps at
+# R=4..32): Mosaic double-buffers the row blocks across grid steps, so the
+# DMAs are already hidden and bigger blocks only add the shifted-view
+# copies.  The R machinery stays for re-probing on other geometries.
+POOL_ROWS_PER_STEP = 1
+
+
+def smooth_pool_pallas(pool: jnp.ndarray, spec: KernelSpec,
+                       rows_per_step: int | None = None) -> jnp.ndarray:
+    """Pallas twin of ``smooth_scan(pool, spec, init=pool[:, 0])`` for the
+    full-pool smoothing pass: ONE kernel whose grid walks the row recursion
+    with the carried smoothed row in VMEM scratch, instead of a lax.scan
+    whose per-row while-loop step costs ~10 us on TPU (the pool mode runs
+    1617 scan rows/frame at 1080p 4:2:0 — +151% end to end,
+    results/poolpallas_ab_r03.txt).
+
+    pool: [9, P+1, S] accumulator-dtype pool state (post-prepare).
+    Returns smoothed rows [P-1, 9, S] — bit-exact to the jnp scan: the u8
+    packed-pair form is legal here because every pool value (raw maps AND
+    stale previously-smoothed rows) is writeback-masked to the pixel range,
+    so 16-bit fields never carry across (ops.pallas_kernel._pack_maps).
+    """
+    from sangnom_tpu.ops.pallas_kernel import (
+        _pack_maps,
+        _packed_smoothing,
+        _unpack_sm,
+    )
+
+    nine, Pp1, S = pool.shape
+    n = Pp1 - 2  # smoothed rows 1..P-1
+    if n <= 0:
+        return jnp.zeros((0, nine, S), pool.dtype)
+    packed = _packed_smoothing(spec)
+    x = _pack_maps(pool) if packed else pool
+    C = x.shape[0]
+    S_pad = max(-(-S // 128) * 128, 128)
+    rows = jnp.moveaxis(x, 1, 0)  # [P+1, C, S]
+    if S_pad > S:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, S_pad - S)))
+
+    R = rows_per_step if rows_per_step is not None else POOL_ROWS_PER_STEP
+    R = max(1, min(R, n))
+    n_steps = -(-n // R)
+    n_pad = n_steps * R
+    # two R-row-shifted views of the raw rows: step t's row i reads raw
+    # rows t*R+1+i and t*R+2+i (rows beyond P feed only the discarded
+    # padding tail of the last step)
+    r0 = rows[1:]
+    r1 = rows[2:]
+    if n_pad > r1.shape[0]:
+        pad = n_pad - r1.shape[0]
+        r0 = jnp.pad(r0, ((0, max(0, n_pad - r0.shape[0])), (0, 0), (0, 0)))
+        r1 = jnp.pad(r1, ((0, pad), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_pool_smooth_kernel, spec=spec, S=S,
+                               packed=packed, R=R)
+    blk = lambda: pl.BlockSpec(  # noqa: E731
+        (R, C, S_pad), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, C, S_pad), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            blk(),
+            blk(),
+        ],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((n_pad, C, S_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((C, S_pad), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+    sm = call(rows[:1], r0, r1)[:n, :, :S]  # [n, C, S]
+    if packed:
+        sm = jnp.stack(_unpack_sm(sm.swapaxes(0, 1))).swapaxes(0, 1)
+    return sm
+
+
+def _pool_use_pallas(opt: int) -> bool:
+    """Pool smoothing backend pick — the same policy as
+    ops.sangnom._pick_backend: 0 jnp scan, 1 Pallas, auto by platform."""
+    if opt == 0:
+        return False
+    if opt == 1:
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def init_pool(luma_width: int, luma_h_out: int, fmt: VideoFormat) -> jnp.ndarray:
@@ -65,7 +214,8 @@ def init_pool(luma_width: int, luma_h_out: int, fmt: VideoFormat) -> jnp.ndarray
 
 
 def interp_field_pool(
-    kept: jnp.ndarray, pool: jnp.ndarray, aaf, spec: KernelSpec
+    kept: jnp.ndarray, pool: jnp.ndarray, aaf, spec: KernelSpec,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One plane pass against the shared pool.
 
@@ -88,7 +238,10 @@ def interp_field_pool(
 
     # smooth: the FULL pool, rows 1..P-1 over the full stride, in place;
     # the row-0 seed is the pool's (never-written, zero) row 0
-    sm = smooth_scan(pool, spec, init=pool[:, 0])  # [P-1, 9, S]
+    if use_pallas:
+        sm = smooth_pool_pallas(pool, spec)  # [P-1, 9, S]
+    else:
+        sm = smooth_scan(pool, spec, init=pool[:, 0])
     pool = pool.at[:, 1:P].set(jnp.moveaxis(sm, 0, 1))
 
     if bufH_p < 2:
@@ -137,6 +290,7 @@ def sangnom2_pool_impl(
     chroma: bool,
     pool0: jnp.ndarray | None = None,
     numerics: str = "c",
+    opt: int = -1,
 ):
     """Whole-clip transform with the shared-pool bug-compat semantics.
 
@@ -146,6 +300,13 @@ def sangnom2_pool_impl(
     streaming callers (CLI --window) can carry the pool across chunks.
     ``numerics="sse2"`` composes the SSE2 numeric contract with the pool
     carry — a live reference build on its vectorized path.
+
+    ``opt`` picks the smoothing-pass backend: 0 = jnp lax.scan,
+    1/auto-on-TPU = the Pallas row-scan kernel (`smooth_pool_pallas`) —
+    bit-identical on real Mosaic, +151% (64.3 -> 161.4 fps 1080p 4:2:0,
+    results/poolpallas_ab_r03.txt) and ~60x faster first-call compile
+    (the scan-of-scan XLA program took ~2.5 min to build).  Frames stay
+    sequential either way; prepare/finalize stay XLA.
     """
     from sangnom_tpu.ops.sangnom import field_offsets  # cycle-free at runtime
 
@@ -158,6 +319,7 @@ def sangnom2_pool_impl(
     process = [luma, chroma, chroma]
     offsets = field_offsets(order, parity)
     static_off = isinstance(offsets, int)
+    use_pallas = _pool_use_pallas(opt)
 
     def frame_step(pool, xs):
         fplanes = xs[:-1]
@@ -174,7 +336,8 @@ def sangnom2_pool_impl(
                 continue
             kept = _gather_kept(p, off, dh)
             aaf = aaf_as_pixel(aafs[i], fmt)
-            interp, pool = interp_field_pool(kept, pool, aaf, spec)
+            interp, pool = interp_field_pool(kept, pool, aaf, spec,
+                                             use_pallas=use_pallas)
             outs.append(_assemble(kept, interp, off))
         return pool, tuple(outs)
 

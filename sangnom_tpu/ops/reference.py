@@ -38,6 +38,17 @@ from sangnom_tpu.ops.primitives import (
 )
 
 
+# Row-scan unroll factor for `smooth_scan` (a pure compile hint: lax.scan
+# replicates the step body — op set and association unchanged, so every
+# backend stays bit-exact by construction; asserted by the A/B probe).
+# Measured on v5e (results/scanunroll_iso_r03.txt, interleaved arms with
+# per-arm jits): unroll=8/16 buys only ~+5% on the isolated pool-geometry
+# scan and ~nothing end-to-end — the scan's per-step cost is NOT loop
+# overhead, so unrolling stays OFF; the real pool-compat fix is the Pallas
+# row-scan kernel in ops/pool_carry.py.
+SCAN_UNROLL = 1
+
+
 def pair_taps(curr, nxt, spec: KernelSpec):
     """(taps, preds) of a kept-line pair: the 14 edge-clamped neighborhood
     taps and 4 directional predictors (reference src/SangNom2.cpp:87-106).
@@ -102,6 +113,7 @@ def smooth_scan(
     init: jnp.ndarray | None = None,
     hbox_fn=None,
     row_axis: int = 1,
+    unroll: int | None = None,
 ) -> jnp.ndarray:
     """The recursive 3x7 smoothing over buffer rows 1..bufH-1.
 
@@ -117,6 +129,8 @@ def smooth_scan(
     bufH = raw.shape[row_axis] - 1
     if hbox_fn is None:
         hbox_fn = _hbox7
+    if unroll is None:
+        unroll = SCAN_UNROLL
     rows = jnp.moveaxis(raw, row_axis, 1)  # [9, bufH+1, ...]
 
     def step(prev_sm, xs):
@@ -131,7 +145,7 @@ def smooth_scan(
     )
     if init is None:  # smoothed "row 0" seed
         init = jnp.zeros(rows.shape[:1] + rows.shape[2:], rows.dtype)
-    _, sm = jax.lax.scan(step, init, xs)
+    _, sm = jax.lax.scan(step, init, xs, unroll=unroll)
     return sm
 
 

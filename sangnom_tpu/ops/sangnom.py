@@ -310,13 +310,13 @@ def _sangnom2_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, ch
     )
 
 
-@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "fmt", "numerics"))
-def _sangnom2_pool_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma, numerics):
+@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "fmt", "numerics", "opt"))
+def _sangnom2_pool_jit(planes, parity, fmt: VideoFormat, order, aa, aac, dh, luma, chroma, numerics, opt):
     from sangnom_tpu.ops.pool_carry import sangnom2_pool_impl
 
     outs, _ = sangnom2_pool_impl(
         planes, parity, fmt, order, aa, aac, dh, luma, chroma,
-        numerics=numerics,
+        numerics=numerics, opt=opt,
     )
     return outs
 
@@ -339,8 +339,9 @@ def sangnom2_op(
     ``pool_compat=True`` selects the shared-buffer-pool bug-compat backend
     (ops/pool_carry.py): bit-exact to a live reference build's cross-plane
     stale-pool semantics, at the cost of sequential frame processing — the
-    pool is genuine cross-frame state.  It is a single XLA implementation;
-    ``opt`` is validated but not consulted in this mode.
+    pool is genuine cross-frame state.  ``opt`` picks the pool smoothing
+    backend exactly like the normal path (0 jnp scan, 1/auto-on-TPU the
+    Pallas row-scan kernel; bit-identical).
 
     ``numerics="sse2"`` selects the reference's SSE2 numeric contract
     (composable with ``pool_compat`` — together they reproduce a live
@@ -361,7 +362,7 @@ def sangnom2_op(
                       else jnp.asarray(parity))
         planes = _sangnom2_pool_jit(
             clip.planes, parity, clip.format, order, aa, aac, dh, luma,
-            chroma, numerics,
+            chroma, numerics, opt,
         )
     elif order == 0:
         planes = _order0_static_split(
@@ -405,8 +406,7 @@ def sangnom2_pool_stream(
     ``--window``) produces output byte-identical to whole-clip processing —
     the pool is genuine cross-frame state and must survive chunk boundaries.
     ``pool_state=None`` starts a fresh stream.  Returns (out_clip, pool).
-    ``opt`` is validated for surface parity with sangnom2 (pool-compat is a
-    single XLA implementation, so it is otherwise unused)."""
+    ``opt`` picks the pool smoothing backend (see sangnom2_pool_impl)."""
     from sangnom_tpu.api import _validate
     from sangnom_tpu.ops.pool_carry import init_pool
 
@@ -418,19 +418,19 @@ def sangnom2_pool_stream(
         pool_state = init_pool(clip.width, h_out, clip.format)
     planes, pool_state = _sangnom2_pool_stream_jit(
         clip.planes, parity, pool_state, clip.format, order, aa, aac, dh,
-        luma, chroma, numerics,
+        luma, chroma, numerics, opt,
     )
     return clip.with_planes(planes), pool_state
 
 
-@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "fmt", "numerics"))
+@partial(jax.jit, static_argnames=("order", "aa", "aac", "dh", "luma", "chroma", "fmt", "numerics", "opt"))
 def _sangnom2_pool_stream_jit(planes, parity, pool0, fmt, order, aa, aac,
-                              dh, luma, chroma, numerics):
+                              dh, luma, chroma, numerics, opt):
     from sangnom_tpu.ops.pool_carry import sangnom2_pool_impl
 
     return sangnom2_pool_impl(
         planes, parity, fmt, order, aa, aac, dh, luma, chroma, pool0=pool0,
-        numerics=numerics,
+        numerics=numerics, opt=opt,
     )
 
 

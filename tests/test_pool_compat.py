@@ -96,6 +96,16 @@ def test_threeway_pool_parity(rng, fname, w, h, order, aa, aac, dh, luma,
     ]
     _assert_clips_equal(got_jnp, want, cast_dtype=frames[0][0].dtype)
 
+    # four-way: the Pallas pool-smoothing backend (opt=1 — interpret mode
+    # here; compiled-Mosaic parity is pinned on hardware,
+    # results/poolpallas_ab_r03.txt) against the same scalar spec
+    out_p = sangnom2(clip, pool_compat=True, opt=1, **kw)
+    got_pallas = [
+        [np.asarray(out_p.planes[i][n]) for i in range(len(planes))]
+        for n in range(len(frames))
+    ]
+    _assert_clips_equal(got_pallas, want, cast_dtype=frames[0][0].dtype)
+
 
 def test_divergence_localized_to_stale_regions(rng):
     """Zero contract vs pool-compat on a 4:2:0 frame: luma identical (its
