@@ -70,6 +70,8 @@ def _pool_smooth_kernel(init_ref, r0_ref, r1_ref, out_ref, sm_ref, *,
     is a static unroll on the carried row).  Columns >= S are
     stride-rounding padding: never read by a valid column's clamped taps,
     discarded by the caller."""
+    from sangnom_tpu.ops.pallas_kernel import _hbox7
+
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -77,9 +79,10 @@ def _pool_smooth_kernel(init_ref, r0_ref, r1_ref, out_ref, sm_ref, *,
         sm_ref[...] = init_ref[0]
 
     sm = sm_ref[...]
+    S_pad = sm.shape[-1]
     col = None
 
-    def tap(line, k):
+    def naive_tap(line, k):
         W = line.shape[-1]
         kk = k % W
         rolled = jnp.concatenate([line[..., kk:], line[..., :kk]], axis=-1)
@@ -89,17 +92,28 @@ def _pool_smooth_kernel(init_ref, r0_ref, r1_ref, out_ref, sm_ref, *,
 
     for i in range(R):
         line = sm + r0_ref[i] + r1_ref[i]
-        if col is None:
-            col = jax.lax.broadcasted_iota(jnp.int32, line.shape,
-                                           line.ndim - 1)
-        # left-to-right tap association, as the reference's C expression
-        # (and ops.reference._hbox7) — float exactness
-        h = tap(line, -3)
-        for k in (-2, -1):
-            h = h + tap(line, k)
-        h = h + line
-        for k in (1, 2, 3):
-            h = h + tap(line, k)
+        if POOL_HBOX_SHARED:
+            # the shared clamped-at-S box sum: 3-roll cumulative-sub bulk
+            # + exact edge slabs for integers (wrap/per-field exact), the
+            # association-preserving leading-pair form for float — the
+            # same code the fused kernel runs (ops.pallas_kernel._hbox7).
+            # Measured a TIE vs the naive 6-concat form (-0.5%,
+            # results/poolhbox_ab_r03.txt): the row recursion is a serial
+            # latency chain and Mosaic folds static roll compositions, so
+            # roll-count cuts don't pay here; kept for the single shared
+            # hbox implementation.
+            h = _hbox7(line, S, S_pad, is_float=spec.is_float)
+        else:
+            # naive fully-clamped 6-concat form (A/B hook)
+            if col is None:
+                col = jax.lax.broadcasted_iota(jnp.int32, line.shape,
+                                               line.ndim - 1)
+            h = naive_tap(line, -3)
+            for k in (-2, -1):
+                h = h + naive_tap(line, k)
+            h = h + line
+            for k in (1, 2, 3):
+                h = h + naive_tap(line, k)
         if packed:
             # per-field (>>4) & 0xFF — ops.pallas_kernel._packed_smoothing
             sm = jnp.right_shift(h, 4) & 0x00FF00FF
@@ -116,6 +130,9 @@ def _pool_smooth_kernel(init_ref, r0_ref, r1_ref, out_ref, sm_ref, *,
 # DMAs are already hidden and bigger blocks only add the shifted-view
 # copies.  The R machinery stays for re-probing on other geometries.
 POOL_ROWS_PER_STEP = 1
+# Trace-time A/B hook: the shared ops.pallas_kernel._hbox7 (3-roll bulk +
+# edge slabs) vs the naive fully-clamped 6-concat form in the pool kernel.
+POOL_HBOX_SHARED = True
 
 
 def smooth_pool_pallas(pool: jnp.ndarray, spec: KernelSpec,
@@ -140,14 +157,26 @@ def smooth_pool_pallas(pool: jnp.ndarray, spec: KernelSpec,
     )
 
     nine, Pp1, S = pool.shape
-    n = Pp1 - 2  # smoothed rows 1..P-1
-    if n <= 0:
+    if Pp1 - 2 <= 0:
         return jnp.zeros((0, nine, S), pool.dtype)
     packed = _packed_smoothing(spec)
     x = _pack_maps(pool) if packed else pool
-    C = x.shape[0]
-    S_pad = max(-(-S // 128) * 128, 128)
     rows = jnp.moveaxis(x, 1, 0)  # [P+1, C, S]
+    sm = _smooth_rows_pallas(rows, spec, packed, rows_per_step)  # [n, C, S]
+    if packed:
+        sm = jnp.stack(_unpack_sm(sm.swapaxes(0, 1))).swapaxes(0, 1)
+    return sm
+
+
+def _smooth_rows_pallas(rows: jnp.ndarray, spec: KernelSpec, packed: bool,
+                        rows_per_step: int | None = None) -> jnp.ndarray:
+    """The pallas_call behind `smooth_pool_pallas`, on time-major (and,
+    for u8, packed) rows [P+1, C, S]; returns smoothed rows [P-1, C, S] in
+    the same layout — the time-major pool backend feeds and consumes this
+    directly, with no full-pool transposes."""
+    Pp1, C, S = rows.shape
+    n = Pp1 - 2  # smoothed rows 1..P-1
+    S_pad = max(-(-S // 128) * 128, 128)
     if S_pad > S:
         rows = jnp.pad(rows, ((0, 0), (0, 0), (0, S_pad - S)))
 
@@ -180,17 +209,14 @@ def smooth_pool_pallas(pool: jnp.ndarray, spec: KernelSpec,
             blk(),
         ],
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((n_pad, C, S_pad), x.dtype),
-        scratch_shapes=[pltpu.VMEM((C, S_pad), x.dtype)],
+        out_shape=jax.ShapeDtypeStruct((n_pad, C, S_pad), rows.dtype),
+        scratch_shapes=[pltpu.VMEM((C, S_pad), rows.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=jax.default_backend() != "tpu",
     )
-    sm = call(rows[:1], r0, r1)[:n, :, :S]  # [n, C, S]
-    if packed:
-        sm = jnp.stack(_unpack_sm(sm.swapaxes(0, 1))).swapaxes(0, 1)
-    return sm
+    return call(rows[:1], r0, r1)[:n, :, :S]  # [n, C, S]
 
 
 def _pool_use_pallas(opt: int) -> bool:
@@ -201,6 +227,98 @@ def _pool_use_pallas(opt: int) -> bool:
     if opt == 1:
         return True
     return jax.default_backend() == "tpu"
+
+
+def _pool_pack_tm(pool: jnp.ndarray, spec: KernelSpec) -> jnp.ndarray:
+    """Canonical pool state [9, P+1, S] -> the Pallas backend's internal
+    carry: time-major [P+1, C, S], packed pairs for u8 (C=5).  Exact both
+    ways — every pool cell is writeback-masked to the pixel range, so the
+    16-bit fields round-trip losslessly.  Runs once per impl CALL (not per
+    frame); the public pool format is unchanged."""
+    from sangnom_tpu.ops.pallas_kernel import _pack_maps, _packed_smoothing
+
+    x = _pack_maps(pool) if _packed_smoothing(spec) else pool
+    return jnp.moveaxis(x, 1, 0)
+
+
+def _pool_unpack_tm(pool_tm: jnp.ndarray, spec: KernelSpec) -> jnp.ndarray:
+    """Inverse of `_pool_pack_tm`."""
+    from sangnom_tpu.ops.pallas_kernel import _packed_smoothing, _unpack_sm
+
+    x = jnp.moveaxis(pool_tm, 0, 1)
+    if _packed_smoothing(spec):
+        x = jnp.stack(_unpack_sm(x))
+    return x
+
+
+def interp_field_pool_tm(
+    kept: jnp.ndarray, pool_tm: jnp.ndarray, aaf, spec: KernelSpec
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Time-major plane pass (the Pallas pool backend's twin of
+    `interp_field_pool`): the pool rides as [P+1, C, S] — the smoothing
+    kernel's native layout — so prepare's raw-map overwrite, the kernel
+    I/O and the smoothed writeback all share one layout.  The layout-
+    converting full-pool `dynamic-update-slice` copies this removes were
+    ~40% of pool-mode device time (XProf, results/poolxprof_r03.txt).
+
+    Bit-exact to `interp_field_pool` by construction: same primitives, same
+    association (the integer finalize min runs as a chained jnp.minimum —
+    exact for integers; float passes a stacked array to keep jnp.min);
+    pinned four-way in tests/test_pool_compat.py and on hardware.
+    """
+    from sangnom_tpu.ops.pallas_kernel import _packed_smoothing
+    from sangnom_tpu.ops.reference import (
+        error_maps_list,
+        finalize_select_from_taps,
+        pair_taps,
+    )
+
+    out_dtype = kept.dtype
+    kept = kept.astype(spec.acc_dtype)
+    bufH_p, w = kept.shape
+    Pp1 = pool_tm.shape[0]
+    S = pool_tm.shape[2]
+    packed = _packed_smoothing(spec)
+
+    curr, nxt = kept[:-1], kept[1:]
+    R = bufH_p - 1
+    if R >= 1:
+        # prepare: overwrite rows 1..bufH_p-1, cols 0..w-1 ONLY — stale
+        # cells elsewhere keep the previous pass's smoothed data
+        taps, preds = pair_taps(curr, nxt, spec)
+        m = error_maps_list(taps, preds)  # 9 x [R, w]
+        if packed:
+            slabs = [(m[i] << 16) | m[i + 5] for i in range(4)] + [m[4]]
+        else:
+            slabs = m
+        raw = jnp.stack(slabs, axis=1)  # [R, C, w]
+        if w < S:
+            raw = jnp.concatenate([raw, pool_tm[1 : R + 1, :, w:]], axis=2)
+        rows = jnp.concatenate([pool_tm[:1], raw, pool_tm[R + 1 :]], axis=0)
+    else:
+        rows = pool_tm
+
+    # smooth: the FULL pool, rows 1..P-1 over the full stride; the row-0
+    # seed is pool row 0 (never written — zero)
+    sm = _smooth_rows_pallas(rows, spec, packed)  # [P-1, C, S]
+    pool_tm = jnp.concatenate([pool_tm[:1], sm, pool_tm[Pp1 - 1 :]], axis=0)
+
+    if bufH_p < 2:
+        return jnp.zeros((0, w), out_dtype), pool_tm
+
+    # finalize: read back rows 1..bufH_p-1, cols 0..w-1; unpack is
+    # elementwise shift/mask fused into the select — no materialization
+    b = sm[:R, :, :w]
+    if packed:
+        bufs = tuple(b[:, i] >> 16 for i in range(4)) + (b[:, 4],) + tuple(
+            b[:, i] & 0xFFFF for i in range(4)
+        )
+    elif spec.is_float:
+        bufs = jnp.moveaxis(b, 1, 0)  # array form keeps jnp.min for fp
+    else:
+        bufs = tuple(b[:, i] for i in range(9))
+    res = finalize_select_from_taps(taps, preds, bufs, aaf, spec)
+    return res.astype(out_dtype), pool_tm
 
 
 def init_pool(luma_width: int, luma_h_out: int, fmt: VideoFormat) -> jnp.ndarray:
@@ -214,8 +332,7 @@ def init_pool(luma_width: int, luma_h_out: int, fmt: VideoFormat) -> jnp.ndarray
 
 
 def interp_field_pool(
-    kept: jnp.ndarray, pool: jnp.ndarray, aaf, spec: KernelSpec,
-    use_pallas: bool = False,
+    kept: jnp.ndarray, pool: jnp.ndarray, aaf, spec: KernelSpec
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One plane pass against the shared pool.
 
@@ -238,10 +355,7 @@ def interp_field_pool(
 
     # smooth: the FULL pool, rows 1..P-1 over the full stride, in place;
     # the row-0 seed is the pool's (never-written, zero) row 0
-    if use_pallas:
-        sm = smooth_pool_pallas(pool, spec)  # [P-1, 9, S]
-    else:
-        sm = smooth_scan(pool, spec, init=pool[:, 0])
+    sm = smooth_scan(pool, spec, init=pool[:, 0])  # [P-1, 9, S]
     pool = pool.at[:, 1:P].set(jnp.moveaxis(sm, 0, 1))
 
     if bufH_p < 2:
@@ -320,6 +434,8 @@ def sangnom2_pool_impl(
     offsets = field_offsets(order, parity)
     static_off = isinstance(offsets, int)
     use_pallas = _pool_use_pallas(opt)
+    carry0 = _pool_pack_tm(pool0, spec) if use_pallas else pool0
+    plane_pass = interp_field_pool_tm if use_pallas else interp_field_pool
 
     def frame_step(pool, xs):
         fplanes = xs[:-1]
@@ -336,13 +452,14 @@ def sangnom2_pool_impl(
                 continue
             kept = _gather_kept(p, off, dh)
             aaf = aaf_as_pixel(aafs[i], fmt)
-            interp, pool = interp_field_pool(kept, pool, aaf, spec,
-                                             use_pallas=use_pallas)
+            interp, pool = plane_pass(kept, pool, aaf, spec)
             outs.append(_assemble(kept, interp, off))
         return pool, tuple(outs)
 
     xs = tuple(planes) + (
         (jnp.zeros((N,), jnp.int32),) if static_off else (offsets,)
     )
-    final_pool, outs = jax.lax.scan(frame_step, pool0, xs)
+    final_pool, outs = jax.lax.scan(frame_step, carry0, xs)
+    if use_pallas:
+        final_pool = _pool_unpack_tm(final_pool, spec)
     return outs, final_pool

@@ -66,27 +66,33 @@ def pair_taps(curr, nxt, spec: KernelSpec):
     return taps, (fwd1, fwd2, bwd1, bwd2)
 
 
-def error_maps_from_taps(taps, preds) -> jnp.ndarray:
-    """The 9 raw directional error maps from pair taps/predictors.
-
-    Returns [9, ...] indexed in spatial priority order (reference enum
-    Buffers, src/SangNom2.h:8-20; stores at src/SangNom2.cpp:103-117)."""
+def error_maps_list(taps, preds) -> list:
+    """The 9 raw directional error maps from pair taps/predictors, as a
+    LIST in spatial priority order (reference enum Buffers,
+    src/SangNom2.h:8-20; stores at src/SangNom2.cpp:103-117) — callers that
+    need a different stacking axis (the time-major pool backend) use this
+    form to avoid a materialized transpose."""
     (cm3, cm2, cm1, c0, cp1, cp2, cp3,
      nm3, nm2, nm1, n0, np1, np2, np3) = taps
     fwd1, fwd2, bwd1, bwd2 = preds
-    return jnp.stack(
-        [
-            abs_diff(cm3, np3),  # 0 ADIFF_M3_P3
-            abs_diff(cm2, np2),  # 1 ADIFF_M2_P2
-            abs_diff(cm1, np1),  # 2 ADIFF_M1_P1
-            abs_diff(fwd1, fwd2),  # 3 SG_FORWARD
-            abs_diff(c0, n0),  # 4 ADIFF_P0_M0
-            abs_diff(bwd1, bwd2),  # 5 SG_REVERSE
-            abs_diff(cp1, nm1),  # 6 ADIFF_P1_M1
-            abs_diff(cp2, nm2),  # 7 ADIFF_P2_M2
-            abs_diff(cp3, nm3),  # 8 ADIFF_P3_M3
-        ]
-    )
+    return [
+        abs_diff(cm3, np3),  # 0 ADIFF_M3_P3
+        abs_diff(cm2, np2),  # 1 ADIFF_M2_P2
+        abs_diff(cm1, np1),  # 2 ADIFF_M1_P1
+        abs_diff(fwd1, fwd2),  # 3 SG_FORWARD
+        abs_diff(c0, n0),  # 4 ADIFF_P0_M0
+        abs_diff(bwd1, bwd2),  # 5 SG_REVERSE
+        abs_diff(cp1, nm1),  # 6 ADIFF_P1_M1
+        abs_diff(cp2, nm2),  # 7 ADIFF_P2_M2
+        abs_diff(cp3, nm3),  # 8 ADIFF_P3_M3
+    ]
+
+
+def error_maps_from_taps(taps, preds) -> jnp.ndarray:
+    """The 9 raw directional error maps from pair taps/predictors.
+
+    Returns [9, ...] indexed in spatial priority order."""
+    return jnp.stack(error_maps_list(taps, preds))
 
 
 def _error_maps(curr, nxt, spec: KernelSpec) -> jnp.ndarray:
@@ -167,7 +173,16 @@ def finalize_select_from_taps(taps, preds, bufs, aaf, spec: KernelSpec):
      nm3, nm2, nm1, n0, np1, np2, np3) = taps
     fwd1, fwd2, bwd1, bwd2 = preds
 
-    mn = jnp.min(bufs, axis=0)
+    if isinstance(bufs, (list, tuple)):
+        # sequence form (the time-major pool backend): the 9-way min as a
+        # chained jnp.minimum — exact for integers regardless of
+        # association (the float pool path passes a stacked array instead,
+        # keeping jnp.min's reduction)
+        import functools
+
+        mn = functools.reduce(jnp.minimum, bufs)
+    else:
+        mn = jnp.min(bufs, axis=0)
 
     res = avg_pair(cm3, np3, spec)  # buf0 ADIFF_M3_P3 (lowest priority)
     for idx, val in (
