@@ -298,11 +298,13 @@ def main() -> None:
         )
         if any(c["parity"] != "ok" for c in configs.values()):
             log("CONFIG-MATRIX PARITY FAILURE")
-        # pool_compat cost (VERDICT_r2 #6): the exact-live-reference
-        # emulation is inherently sequential (the pool is cross-frame
-        # state); record what a user pays for it.  Small batch — the mode
-        # is measured in frames/s, not competitive throughput.
-        Bp = 8
+        # pool_compat cost (VERDICT_r2 #6): record what a user pays for the
+        # exact-live-reference emulation.  At this stride-aligned 1080p
+        # geometry the frame-parallel fast path engages (the carried pool is
+        # provably unobservable, ops.pool_carry._frames_independent) —
+        # Bp=32 exercises its chunking; unaligned widths / luma=False fall
+        # back to the sequential scan.
+        Bp = 32
         clip_p = Clip.from_numpy([p[:Bp] for p in planes], fmt)
         _ = float(sync(sangnom2(clip_p, pool_compat=True, **kwargs).planes))
         t0 = time.perf_counter()
@@ -311,7 +313,8 @@ def main() -> None:
         np.asarray(jnp.stack(acc))
         pool_fps = Bp / ((time.perf_counter() - t0) / 3)
         log(f"pool_compat 1080p 4:2:0: {pool_fps:.1f} frames/s "
-            f"(sequential by construction)")
+            f"(frame-parallel fast path; carried-state geometries run "
+            f"sequential)")
 
     print(json.dumps({
         "metric": "1080p_bob_dh_fps_per_chip",

@@ -130,6 +130,18 @@ def _pool_smooth_kernel(init_ref, r0_ref, r1_ref, out_ref, sm_ref, *,
 # DMAs are already hidden and bigger blocks only add the shifted-view
 # copies.  The R machinery stays for re-probing on other geometries.
 POOL_ROWS_PER_STEP = 1
+# Frame-parallel pool-compat fast path (see `_frames_independent`): enabled
+# hook for A/B against the sequential scan, and the frames-per-kernel chunk
+# (bounds the folded kernel's VMEM blocks and the HBM staging; the row-scan
+# kernel sees [1, K*C, S_pad] blocks per step).
+POOL_FAST = True
+POOL_FAST_BATCH = 16
+# Recompute taps/predictors at the fast path's finalize (the reference
+# recomputes too, src/SangNom2.cpp:176-195) instead of holding the 18
+# accumulator-width tap arrays live across the kernel call — trades cheap
+# elementwise recompute for their HBM round-trip IF XLA materializes them
+# (it may already clone the producer fusion into both consumers).  A/B hook.
+POOL_FINALIZE_RECOMPUTE = False
 # Trace-time A/B hook: the shared ops.pallas_kernel._hbox7 (3-roll bulk +
 # edge slabs) vs the naive fully-clamped 6-concat form in the pool kernel.
 POOL_HBOX_SHARED = True
@@ -184,9 +196,40 @@ def _smooth_rows_pallas(rows: jnp.ndarray, spec: KernelSpec, packed: bool,
     R = max(1, min(R, n))
     n_steps = -(-n // R)
     n_pad = n_steps * R
-    # two R-row-shifted views of the raw rows: step t's row i reads raw
-    # rows t*R+1+i and t*R+2+i (rows beyond P feed only the discarded
-    # padding tail of the last step)
+
+    kernel = functools.partial(_pool_smooth_kernel, spec=spec, S=S,
+                               packed=packed, R=R)
+    if R == 1:
+        # No staged shifted copies: the kernel reads the SAME rows array
+        # through three BlockSpecs (constant seed row 0; raw rows t+1 and
+        # t+2 — block-index maps are exactly row indices at block height
+        # 1).  Saves two full-pool HBM copies per smoothing pass vs the
+        # sliced-views form below; reads are identical, so bit-exactness
+        # is structural.
+        row_blk = lambda f: pl.BlockSpec(  # noqa: E731
+            (1, C, S_pad), f, memory_space=pltpu.VMEM
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_steps,),
+            in_specs=[
+                row_blk(lambda t: (0, 0, 0)),
+                row_blk(lambda t: (t + 1, 0, 0)),
+                row_blk(lambda t: (t + 2, 0, 0)),
+            ],
+            out_specs=row_blk(lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad, C, S_pad), rows.dtype),
+            scratch_shapes=[pltpu.VMEM((C, S_pad), rows.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return call(rows, rows, rows)[:, :, :S]  # [n, C, S]
+
+    # R > 1 (re-probe hook): two R-row-shifted views of the raw rows: step
+    # t's row i reads raw rows t*R+1+i and t*R+2+i (rows beyond P feed only
+    # the discarded padding tail of the last step)
     r0 = rows[1:]
     r1 = rows[2:]
     if n_pad > r1.shape[0]:
@@ -194,8 +237,6 @@ def _smooth_rows_pallas(rows: jnp.ndarray, spec: KernelSpec, packed: bool,
         r0 = jnp.pad(r0, ((0, max(0, n_pad - r0.shape[0])), (0, 0), (0, 0)))
         r1 = jnp.pad(r1, ((0, pad), (0, 0), (0, 0)))
 
-    kernel = functools.partial(_pool_smooth_kernel, spec=spec, S=S,
-                               packed=packed, R=R)
     blk = lambda: pl.BlockSpec(  # noqa: E731
         (R, C, S_pad), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
     )
@@ -321,6 +362,148 @@ def interp_field_pool_tm(
     return res.astype(out_dtype), pool_tm
 
 
+def _frames_independent(luma_width: int, luma_h: int, fmt: VideoFormat,
+                        dh: bool, luma: bool) -> bool:
+    """True when every frame's pool-compat output is provably independent of
+    the carried pool, so frames may be processed IN PARALLEL bit-exactly.
+
+    Proof: the first plane processed in a frame is luma (``dh`` processes
+    every plane; otherwise ``luma=True`` is required).  Its prepare
+    overwrites pool rows 1..P-1 over cols 0..w-1; its smoothing pass reads
+    exactly raw rows 1..P (rows[1:]/rows[2:] for steps 1..P-1), the row-0
+    seed, and — through the stride-clamped 7-tap box — cols 0..S-1.  When
+    ``w == S`` (stride-aligned luma width) and the luma kept field spans the
+    full buffer height (even ``h`` or ``dh``), every cell that pass can read
+    is either freshly prepared (rows 1..P-1) or one of the pool's two
+    NEVER-written rows 0/P, which are zero for the life of any pool this
+    module can produce (`init_pool` zeroes them; no pass writes them — an
+    invariant of the pool-state representation, reference
+    src/SangNom2.cpp:79 vs 129-133).  The luma pass is therefore a pure
+    function of the frame, the chroma passes read only this frame's luma/
+    chroma residue, and frame k's output and final pool never depend on
+    frame k-1 — `test_pool_equals_zero_when_prepare_covers_pool` pins the
+    observable consequence.  The carried-state cases (`w != stride`:
+    pad-column carry; ``luma=False`` without dh: U inherits last frame's V)
+    stay on the sequential scan."""
+    return (
+        (dh or luma)
+        and buffer_stride_elems(luma_width, fmt.component_size) == luma_width
+        and (dh or luma_h % 2 == 0)
+    )
+
+
+def _gather_kept_batch(p: jnp.ndarray, offset: Offset, dh: bool):
+    """Batched `_gather_kept`: [N, h, w] -> [N, bufH_p, w]."""
+    if dh:
+        return p
+    if isinstance(offset, int):
+        return p[:, offset::2]
+    return jax.vmap(lambda pp, oo: _gather_kept(pp, oo, False))(p, offset)
+
+
+def _assemble_tm_batch(kept_tm: jnp.ndarray, interp_tm: jnp.ndarray,
+                       offset: Offset):
+    """Time-major batched `_assemble`: weave kept + missing lines.
+    kept_tm [bufH_p, K, w], interp_tm [bufH_p-1, K, w] -> [2*bufH_p, K, w]."""
+    bufH_p, K, w = kept_tm.shape
+
+    def weave(top, bottom):
+        return jnp.stack([top, bottom], axis=1).reshape(2 * bufH_p, K, w)
+
+    out0 = weave(kept_tm, jnp.concatenate([interp_tm, kept_tm[-1:]], axis=0))
+    out1 = weave(jnp.concatenate([kept_tm[:1], interp_tm], axis=0), kept_tm)
+    if isinstance(offset, int):
+        return out0 if offset == 0 else out1
+    return jnp.where((offset == 0)[None, :, None], out0, out1)
+
+
+def interp_field_pool_tm_batch(
+    kept_tm: jnp.ndarray, pool_tmb: jnp.ndarray, aaf, spec: KernelSpec
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-batched twin of `interp_field_pool_tm` for the fast path,
+    entirely in the kernel-native time-major layout: kept_tm [bufH_p, K, w]
+    (rows outermost, frames inside), pool_tmb [P+1, K, C, S] (each frame
+    carries its OWN pool — fresh zeros at the frame's start, per
+    `_frames_independent`).
+
+    The K per-frame pools fold into the row-scan kernel's slab axis by a
+    pure adjacent-axis reshape ([P+1, K, C, S] -> [P+1, K*C, S] — no
+    relayout; a frame-major variant of this path measured -18% from the
+    moveaxis copies alone, results/poolfast_ab_r03.txt): the recursion is
+    serial over ROWS but elementwise across slabs, so one kernel walk
+    smooths all K frames — the same P-1 grid steps the sequential mode
+    spends per PLANE now serve the whole chunk, and each step's VPU work
+    grows from C slabs (5 sublanes at u8 — mostly idle) to K*C.  The only
+    layout moves left are the per-plane STORAGE-dtype kept/output
+    transposes in the driver (u8-cheap).  Bit-exact to the sequential path
+    by construction: identical primitives and association per frame, slab
+    identity is invisible to the kernel (hbox/writeback act on the last
+    axis only).
+    """
+    from sangnom_tpu.ops.pallas_kernel import _packed_smoothing
+    from sangnom_tpu.ops.reference import (
+        error_maps_list,
+        finalize_select_from_taps,
+        pair_taps,
+    )
+
+    out_dtype = kept_tm.dtype
+    kept = kept_tm.astype(spec.acc_dtype)
+    bufH_p, K, w = kept.shape
+    Pp1, _, C, S = pool_tmb.shape
+    packed = _packed_smoothing(spec)
+
+    curr, nxt = kept[:-1], kept[1:]  # [R, K, w]
+    R = bufH_p - 1
+    if R >= 1:
+        # pair_taps/error_maps_list are last-axis generic (neighborhood
+        # pads axis -1; everything else is elementwise), so the leading
+        # [row, frame] dims flow through the same functions untouched
+        taps, preds = pair_taps(curr, nxt, spec)
+        m = error_maps_list(taps, preds)  # 9 x [R, K, w]
+        if packed:
+            slabs = [(m[i] << 16) | m[i + 5] for i in range(4)] + [m[4]]
+        else:
+            slabs = m
+        raw = jnp.stack(slabs, axis=2)  # [R, K, C, w]
+        if w < S:
+            raw = jnp.concatenate(
+                [raw, pool_tmb[1 : R + 1, :, :, w:]], axis=3
+            )
+        rows = jnp.concatenate(
+            [pool_tmb[:1], raw, pool_tmb[R + 1 :]], axis=0
+        )
+    else:
+        rows = pool_tmb
+
+    rows_f = rows.reshape(Pp1, K * C, S)  # adjacent-axis merge: no relayout
+    sm_f = _smooth_rows_pallas(rows_f, spec, packed)  # [P-1, K*C, S]
+    sm = sm_f.reshape(Pp1 - 2, K, C, S)
+    pool_tmb = jnp.concatenate(
+        [pool_tmb[:1], sm, pool_tmb[Pp1 - 1 :]], axis=0
+    )
+
+    if bufH_p < 2:
+        return jnp.zeros((0, K, w), out_dtype), pool_tmb
+
+    b = sm[:R, :, :, :w]  # [R, K, C, w]
+    if packed:
+        bufs = tuple(b[:, :, i] >> 16 for i in range(4)) + (b[:, :, 4],) + tuple(
+            b[:, :, i] & 0xFFFF for i in range(4)
+        )
+    elif spec.is_float:
+        bufs = jnp.moveaxis(b, 2, 0)  # array form keeps jnp.min for fp
+    else:
+        bufs = tuple(b[:, :, i] for i in range(9))
+    if POOL_FINALIZE_RECOMPUTE:
+        from sangnom_tpu.ops.reference import finalize_select
+
+        res = finalize_select(curr, nxt, bufs, aaf, spec)
+    else:
+        res = finalize_select_from_taps(taps, preds, bufs, aaf, spec)
+    return res.astype(out_dtype), pool_tmb
+
+
 def init_pool(luma_width: int, luma_h_out: int, fmt: VideoFormat) -> jnp.ndarray:
     """Fresh pool state: [9, bufferHeight+1, stride], all zero (the
     reference's pool is malloc'd fresh pages — zero in practice — and its
@@ -419,8 +602,13 @@ def sangnom2_pool_impl(
     1/auto-on-TPU = the Pallas row-scan kernel (`smooth_pool_pallas`) —
     bit-identical on real Mosaic, +151% (64.3 -> 161.4 fps 1080p 4:2:0,
     results/poolpallas_ab_r03.txt) and ~60x faster first-call compile
-    (the scan-of-scan XLA program took ~2.5 min to build).  Frames stay
-    sequential either way; prepare/finalize stay XLA.
+    (the scan-of-scan XLA program took ~2.5 min to build).  Prepare/
+    finalize stay XLA.  Frames are sequential EXCEPT when
+    `_frames_independent` proves the carried pool unobservable (stride-
+    aligned luma width + luma processed first — the common production
+    geometry, e.g. any 1920-wide clip): there the Pallas backend batches
+    frames in parallel through one folded row-scan kernel
+    (`interp_field_pool_tm_batch`), bit-identical by construction.
     """
     from sangnom_tpu.ops.sangnom import field_offsets  # cycle-free at runtime
 
@@ -434,6 +622,12 @@ def sangnom2_pool_impl(
     offsets = field_offsets(order, parity)
     static_off = isinstance(offsets, int)
     use_pallas = _pool_use_pallas(opt)
+
+    if use_pallas and POOL_FAST and _frames_independent(w0, h0, fmt, dh, luma):
+        return _sangnom2_pool_batched(
+            planes, offsets, fmt, spec, aafs, dh, process
+        )
+
     carry0 = _pool_pack_tm(pool0, spec) if use_pallas else pool0
     plane_pass = interp_field_pool_tm if use_pallas else interp_field_pool
 
@@ -463,3 +657,57 @@ def sangnom2_pool_impl(
     if use_pallas:
         final_pool = _pool_unpack_tm(final_pool, spec)
     return outs, final_pool
+
+
+def _sangnom2_pool_batched(planes, offsets, fmt: VideoFormat,
+                           spec: KernelSpec, aafs, dh: bool, process):
+    """Frame-parallel pool-compat driver (the `_frames_independent` fast
+    path): each frame gets a fresh zero pool — provably what the sequential
+    history would hand it — and chunks of `POOL_FAST_BATCH` frames run the
+    plane passes batched, folding all frames of a chunk into ONE Pallas
+    row-scan walk per plane.  The returned final pool is the last frame's
+    (== the sequential final pool, since no state crosses frames here)."""
+    N, h0, w0 = planes[0].shape
+    h_out0 = 2 * h0 if dh else h0
+    S = buffer_stride_elems(w0, fmt.component_size)
+    P = buffer_height(h_out0)
+    from sangnom_tpu.ops.pallas_kernel import _packed_smoothing
+
+    C = 5 if _packed_smoothing(spec) else 9
+    static_off = isinstance(offsets, int)
+
+    out_chunks = []
+    pool_last = None
+    K = max(1, POOL_FAST_BATCH)
+    for s in range(0, N, K):
+        e = min(N, s + K)
+        fpl = tuple(p[s:e] for p in planes)
+        off = offsets if static_off else offsets[s:e]
+        pool = jnp.zeros((P + 1, e - s, C, S), spec.acc_dtype)
+        outs = []
+        for i, p in enumerate(fpl):
+            if i >= 3:
+                # alpha passthrough (reference src/SangNom2.cpp:347)
+                outs.append(jnp.repeat(p, 2, axis=1) if dh else p)
+                continue
+            if not dh and not process[i]:
+                outs.append(p)
+                continue
+            # the only layout moves of the fast path: storage-dtype
+            # frame<->row transposes of the plane itself (u8-cheap; the
+            # accumulator-width pool/maps never change layout)
+            kept_tm = jnp.moveaxis(_gather_kept_batch(p, off, dh), 0, 1)
+            aaf = aaf_as_pixel(aafs[i], fmt)
+            interp_tm, pool = interp_field_pool_tm_batch(
+                kept_tm, pool, aaf, spec
+            )
+            out_tm = _assemble_tm_batch(kept_tm, interp_tm, off)
+            outs.append(jnp.moveaxis(out_tm, 0, 1))
+        out_chunks.append(outs)
+        pool_last = pool[:, -1]
+    outs = tuple(
+        jnp.concatenate([c[i] for c in out_chunks], axis=0)
+        if len(out_chunks) > 1 else out_chunks[0][i]
+        for i in range(len(planes))
+    )
+    return outs, _pool_unpack_tm(pool_last, spec)
