@@ -45,6 +45,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The smoothing-width bounds are GEOMETRY facts shared by every backend
+# (the parity target must not be perturbable by perf-module edits), so
+# they live in core.geometry; re-exported here under the historical names
+# for the perf tools/tests that import them from this module.
+from sangnom_tpu.core.geometry import (
+    creep_bound,  # noqa: F401  (parallel/sharding's bound, same helper)
+    decay_hops as _decay_hops,  # noqa: F401
+    width_tiers as _width_tiers,
+)
 from sangnom_tpu.ops.primitives import (
     KernelSpec,
     abs_diff,
@@ -622,70 +631,6 @@ def _batch_clamp(per_frame_bytes: int) -> int:
     return int(max(8, min(_CHUNK_CAP, (g // 8) * 8)))
 
 
-# Trace-time switch for the geometric-decay smoothing bound below; exists
-# so perf A/B harnesses can compile both variants in one process.
-_DECAY_BOUND = True
-
-
-def _decay_hops(mask: int) -> int:
-    """Rows until a zero-raw padding column provably decays to exactly 0.
-
-    In the zero-defined padding (columns >= w) the raw maps are zero, so a
-    padding column's smoothing recursion degenerates to
-    ``sm[b][c] = hbox7(sm[b-1])[c] / 16`` — every tap of which is itself a
-    padding value once c >= w+3.  With m_k bounding all rows' values at
-    columns >= w + 3k, induction gives m_k = floor(7 * m_(k-1) / 16)
-    (truncating integer division; the SSE2-numerics saturating writeback
-    only lowers values), starting from m_0 = the storage-type max (the
-    wrap/saturate writeback bounds every stored value by it).  m_k hits
-    exactly 0 after 7 hops for u8, 14 for u16 — so all padding columns
-    >= w + 3*hops are zero on every row, for any plane height.
-    """
-    m, k = mask, 0
-    while m:
-        m = (7 * m) >> 4
-        k += 1
-    return k
-
-
-def creep_bound(w: int, bufH: int, spec: KernelSpec | None) -> int:
-    """Rightmost column (exclusive) the smoothing recursion can observably
-    reach: w + 3 cols/row of recursion creep (+3 hbox taps), tightened by
-    the integer decay bound (+6: the last computed columns clamp onto a
-    provably-zero column).  Bit-exactness-critical — _width_tiers and the
-    sharded pre-padding (parallel/sharding._sharded_pad_width) MUST use
-    the same bound, so both call this one helper."""
-    creep = w + 3 * bufH + 3
-    if _DECAY_BOUND and spec is not None and not spec.is_float:
-        creep = min(creep, w + 3 * _decay_hops(spec.mask) + 6)
-    return creep
-
-
-def _width_tiers(
-    w: int, bufH: int, S: int, spec: KernelSpec | None = None
-) -> tuple[int, int, int]:
-    """(W_act, W_sm, S_clamp) — all 128-lane aligned, capped at S_pad.
-
-    - ACTIVE width: pixel taps reach w+2 and output columns >= w are
-      discarded, so the prepare/finalize stages only need ~w columns.
-    - SMOOTHING width: the zero-padding creep is observable out to
-      w + 3*bufH columns (3 columns/row through the recursion) — but for
-      INTEGER formats the creep magnitude decays geometrically and hits
-      exactly zero within `_decay_hops` rows, so columns beyond
-      w + 3*hops are zero forever and the smoothing pass stops there
-      (+6: the last computed columns clamp their right taps onto a
-      provably-zero column, making the early clamp invisible).  Float
-      never decays to exact zero, so it keeps the full creep bound.
-    For subsampled chroma (whose stride is LUMA-derived, SURVEY.md §2
-    quirk 6: e.g. w=960, S=1920 at 1080p 4:2:0) this cuts the smoothing
-    width 1792 -> 1024 while staying bit-exact (verified vs the full-
-    stride native oracle by the parity suites; measured +8.1% on the
-    headline by interleaved A/B, results/decay_ab_interleaved.txt).
-    """
-    S_pad = max(_round_up(S, 128), 128)
-    W_act = min(S_pad, max(_round_up(w + 3, 128), 128))
-    W_sm = min(S_pad, max(_round_up(creep_bound(w, bufH, spec), 128), W_act))
-    return W_act, W_sm, min(S, W_sm)
 
 
 def interpolate_field_batch(

@@ -130,11 +130,18 @@ def _pool_smooth_kernel(init_ref, r0_ref, r1_ref, out_ref, sm_ref, *,
 # DMAs are already hidden and bigger blocks only add the shifted-view
 # copies.  The R machinery stays for re-probing on other geometries.
 POOL_ROWS_PER_STEP = 1
-# Frame-parallel pool-compat fast path (see `_frames_independent`): enabled
-# hook for A/B against the sequential scan, and the frames-per-kernel chunk
-# (bounds the folded kernel's VMEM blocks and the HBM staging; the row-scan
-# kernel sees [1, K*C, S_pad] blocks per step).
-POOL_FAST = True
+# Frame-parallel pool-compat fast path (see `_frames_independent`): REJECTED
+# as a default (kept as an A/B hook).  The interleaved hardware A/B
+# (results/poolfast_ab_r03.txt) shows it LOSES to the sequential Pallas scan
+# at every chunk size (-17.7% K=8, -21.0% K=16, -24.0% K=32 — the folded
+# K*C-slab kernel adds accumulator-width HBM staging for K frames' prepare/
+# finalize), and a second hardware run (results/poolfast_ab_r03b.txt) ended
+# in a bit-identity FAILURE ('fast8 differs from seq') that was never
+# localized; CI runs Pallas in interpret mode on CPU and cannot catch a
+# Mosaic-side divergence.  Bit-exactness is this mode's entire reason to
+# exist, so the default stays False until a passing hardware bit-identity
+# artifact AND a winning A/B are both committed.
+POOL_FAST = False
 POOL_FAST_BATCH = 16
 # Recompute taps/predictors at the fast path's finalize (the reference
 # recomputes too, src/SangNom2.cpp:176-195) instead of holding the 18
@@ -323,29 +330,34 @@ def interp_field_pool_tm(
 
     curr, nxt = kept[:-1], kept[1:]
     R = bufH_p - 1
-    if R >= 1:
-        # prepare: overwrite rows 1..bufH_p-1, cols 0..w-1 ONLY — stale
-        # cells elsewhere keep the previous pass's smoothed data
-        taps, preds = pair_taps(curr, nxt, spec)
-        m = error_maps_list(taps, preds)  # 9 x [R, w]
-        if packed:
-            slabs = [(m[i] << 16) | m[i + 5] for i in range(4)] + [m[4]]
-        else:
-            slabs = m
-        raw = jnp.stack(slabs, axis=1)  # [R, C, w]
-        if w < S:
-            raw = jnp.concatenate([raw, pool_tm[1 : R + 1, :, w:]], axis=2)
-        rows = jnp.concatenate([pool_tm[:1], raw, pool_tm[R + 1 :]], axis=0)
+    if R < 1:
+        # degenerate plane (kept field < 2 rows): prepare writes nothing and
+        # finalize has no rows, but the reference still smooths the full
+        # pool (src/SangNom2.cpp:268-270)
+        sm = _smooth_rows_pallas(pool_tm, spec, packed)
+        pool_tm = jnp.concatenate(
+            [pool_tm[:1], sm, pool_tm[Pp1 - 1 :]], axis=0
+        )
+        return jnp.zeros((0, w), out_dtype), pool_tm
+
+    # R >= 1 from here: taps/preds feed both prepare and the finalize below.
+    # prepare: overwrite rows 1..bufH_p-1, cols 0..w-1 ONLY — stale
+    # cells elsewhere keep the previous pass's smoothed data
+    taps, preds = pair_taps(curr, nxt, spec)
+    m = error_maps_list(taps, preds)  # 9 x [R, w]
+    if packed:
+        slabs = [(m[i] << 16) | m[i + 5] for i in range(4)] + [m[4]]
     else:
-        rows = pool_tm
+        slabs = m
+    raw = jnp.stack(slabs, axis=1)  # [R, C, w]
+    if w < S:
+        raw = jnp.concatenate([raw, pool_tm[1 : R + 1, :, w:]], axis=2)
+    rows = jnp.concatenate([pool_tm[:1], raw, pool_tm[R + 1 :]], axis=0)
 
     # smooth: the FULL pool, rows 1..P-1 over the full stride; the row-0
     # seed is pool row 0 (never written — zero)
     sm = _smooth_rows_pallas(rows, spec, packed)  # [P-1, C, S]
     pool_tm = jnp.concatenate([pool_tm[:1], sm, pool_tm[Pp1 - 1 :]], axis=0)
-
-    if bufH_p < 2:
-        return jnp.zeros((0, w), out_dtype), pool_tm
 
     # finalize: read back rows 1..bufH_p-1, cols 0..w-1; unpack is
     # elementwise shift/mask fused into the select — no materialization
@@ -455,36 +467,45 @@ def interp_field_pool_tm_batch(
 
     curr, nxt = kept[:-1], kept[1:]  # [R, K, w]
     R = bufH_p - 1
-    if R >= 1:
-        # pair_taps/error_maps_list are last-axis generic (neighborhood
-        # pads axis -1; everything else is elementwise), so the leading
-        # [row, frame] dims flow through the same functions untouched
-        taps, preds = pair_taps(curr, nxt, spec)
-        m = error_maps_list(taps, preds)  # 9 x [R, K, w]
-        if packed:
-            slabs = [(m[i] << 16) | m[i + 5] for i in range(4)] + [m[4]]
-        else:
-            slabs = m
-        raw = jnp.stack(slabs, axis=2)  # [R, K, C, w]
-        if w < S:
-            raw = jnp.concatenate(
-                [raw, pool_tmb[1 : R + 1, :, :, w:]], axis=3
-            )
-        rows = jnp.concatenate(
-            [pool_tmb[:1], raw, pool_tmb[R + 1 :]], axis=0
-        )
-    else:
-        rows = pool_tmb
 
-    rows_f = rows.reshape(Pp1, K * C, S)  # adjacent-axis merge: no relayout
-    sm_f = _smooth_rows_pallas(rows_f, spec, packed)  # [P-1, K*C, S]
-    sm = sm_f.reshape(Pp1 - 2, K, C, S)
+    def smooth_fold(rows):
+        # adjacent-axis merge: no relayout
+        sm_f = _smooth_rows_pallas(rows.reshape(Pp1, K * C, S), spec, packed)
+        return sm_f.reshape(Pp1 - 2, K, C, S)  # [P-1, K, C, S]
+
+    if R < 1:
+        # degenerate plane (kept field < 2 rows): prepare writes nothing and
+        # finalize has no rows, but the reference still smooths the full
+        # pool (src/SangNom2.cpp:268-270)
+        sm = smooth_fold(pool_tmb)
+        pool_tmb = jnp.concatenate(
+            [pool_tmb[:1], sm, pool_tmb[Pp1 - 1 :]], axis=0
+        )
+        return jnp.zeros((0, K, w), out_dtype), pool_tmb
+
+    # R >= 1 from here: taps/preds feed both prepare and the finalize below.
+    # pair_taps/error_maps_list are last-axis generic (neighborhood
+    # pads axis -1; everything else is elementwise), so the leading
+    # [row, frame] dims flow through the same functions untouched
+    taps, preds = pair_taps(curr, nxt, spec)
+    m = error_maps_list(taps, preds)  # 9 x [R, K, w]
+    if packed:
+        slabs = [(m[i] << 16) | m[i + 5] for i in range(4)] + [m[4]]
+    else:
+        slabs = m
+    raw = jnp.stack(slabs, axis=2)  # [R, K, C, w]
+    if w < S:
+        raw = jnp.concatenate(
+            [raw, pool_tmb[1 : R + 1, :, :, w:]], axis=3
+        )
+    rows = jnp.concatenate(
+        [pool_tmb[:1], raw, pool_tmb[R + 1 :]], axis=0
+    )
+
+    sm = smooth_fold(rows)
     pool_tmb = jnp.concatenate(
         [pool_tmb[:1], sm, pool_tmb[Pp1 - 1 :]], axis=0
     )
-
-    if bufH_p < 2:
-        return jnp.zeros((0, K, w), out_dtype), pool_tmb
 
     b = sm[:R, :, :, :w]  # [R, K, C, w]
     if packed:
@@ -603,19 +624,20 @@ def sangnom2_pool_impl(
     bit-identical on real Mosaic, +151% (64.3 -> 161.4 fps 1080p 4:2:0,
     results/poolpallas_ab_r03.txt) and ~60x faster first-call compile
     (the scan-of-scan XLA program took ~2.5 min to build).  Prepare/
-    finalize stay XLA.  Frames are sequential EXCEPT when
-    `_frames_independent` proves the carried pool unobservable (stride-
-    aligned luma width + luma processed first — the common production
-    geometry, e.g. any 1920-wide clip): there the Pallas backend batches
-    frames in parallel through one folded row-scan kernel
-    (`interp_field_pool_tm_batch`), bit-identical by construction.
+    finalize stay XLA.  Frames are sequential; the frame-parallel fast path
+    (`interp_field_pool_tm_batch`, legal when `_frames_independent` proves
+    the carried pool unobservable AND no caller-supplied pool0 exists) is
+    an A/B hook behind `POOL_FAST`, default OFF — it measured slower than
+    the sequential scan at every chunk size and one hardware run recorded a
+    bit-identity failure (see the POOL_FAST comment).
     """
     from sangnom_tpu.ops.sangnom import field_offsets  # cycle-free at runtime
 
     spec = KernelSpec.from_format(fmt, sse2=(numerics == "sse2"))
     N, h0, w0 = planes[0].shape
     h_out0 = 2 * h0 if dh else h0
-    if pool0 is None:
+    pool0_was_none = pool0 is None
+    if pool0_was_none:
         pool0 = init_pool(w0, h_out0, fmt)
     aafs = scaled_aa_thresholds(aa, aac, fmt)
     process = [luma, chroma, chroma]
@@ -623,7 +645,19 @@ def sangnom2_pool_impl(
     static_off = isinstance(offsets, int)
     use_pallas = _pool_use_pallas(opt)
 
-    if use_pallas and POOL_FAST and _frames_independent(w0, h0, fmt, dh, luma):
+    # The fast path recreates each frame's pool from zeros, so it may only
+    # engage when no caller-supplied pool state exists: a pool0 produced by
+    # this module has rows 0/P zero (the `_frames_independent` proof relies
+    # on that), but an EXTERNALLY constructed pool0 with nonzero
+    # never-written rows would silently diverge from the sequential path
+    # instead of being honored — e.g. the CLI --window streaming carry
+    # (`_sangnom2_pool_stream_jit`) threads pool state across chunks.
+    if (
+        use_pallas
+        and POOL_FAST
+        and pool0_was_none
+        and _frames_independent(w0, h0, fmt, dh, luma)
+    ):
         return _sangnom2_pool_batched(
             planes, offsets, fmt, spec, aafs, dh, process
         )

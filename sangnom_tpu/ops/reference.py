@@ -227,15 +227,15 @@ def interpolate_field(
     curr, nxt = kept[:-1], kept[1:]  # kept pairs for buffer rows 1..bufH-1
 
     # Smoothing width: the zero-defined padding decays to EXACT zero within
-    # `_decay_hops` rows for integer formats (see ops.pallas_kernel.
-    # _width_tiers — same proof, same +6 clamp parking; the fused kernel's
-    # bound is oracle-verified), so the scan needn't run the full
-    # luma-derived stride.  Float keeps the stride (no exact decay).
+    # `decay_hops` rows for integer formats (see core.geometry.width_tiers
+    # — same proof, same +6 clamp parking; the fused kernel's bound is
+    # oracle-verified), so the scan needn't run the full luma-derived
+    # stride.  Float keeps the stride (no exact decay).
     S_sm = stride
     if not spec.is_float:
-        from sangnom_tpu.ops.pallas_kernel import _decay_hops
+        from sangnom_tpu.core.geometry import decay_hops
 
-        S_sm = min(stride, w + 3 * _decay_hops(spec.mask) + 6)
+        S_sm = min(stride, w + 3 * decay_hops(spec.mask) + 6)
 
     # stage 1: prepare (reference src/SangNom2.cpp:74-124)
     raw = _error_maps(curr, nxt, spec)  # [9, bufH-1, w]

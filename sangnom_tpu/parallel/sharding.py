@@ -52,13 +52,13 @@ def _sharded_pad_width(
     The reference smooths every plane over the LUMA-derived buffer stride
     (SURVEY.md §2 quirk 6), so subsampled chroma carries up to 2x padding.
     The single-chip kernels already cut that via the observable-creep /
-    integer-decay bounds (ops.pallas_kernel._width_tiers: clamping the hbox
+    integer-decay bounds (core.geometry.width_tiers: clamping the hbox
     at S_clamp >= the bound is invisible in the trimmed output, verified
     against the full-stride native oracle); this applies the SAME bounds to
     the globally padded array the shards divide, instead of always padding
     to the full stride — at 1080p 4:2:0 this halves the sharded chroma
     compute and every chroma halo exchange."""
-    from sangnom_tpu.ops.pallas_kernel import creep_bound
+    from sangnom_tpu.core.geometry import creep_bound
     from sangnom_tpu.ops.primitives import KernelSpec
 
     spec = KernelSpec.from_format(fmt)

@@ -53,8 +53,7 @@ TensorCore (jax-ml.github.io/scaling-book, TPU chapter); v5e clocks
 from __future__ import annotations
 
 from sangnom_tpu.core.formats import VideoFormat
-from sangnom_tpu.core.geometry import buffer_stride_elems
-from sangnom_tpu.ops.pallas_kernel import _width_tiers
+from sangnom_tpu.core.geometry import buffer_stride_elems, width_tiers as _width_tiers
 from sangnom_tpu.ops.primitives import KernelSpec
 
 OPS_PER_COL_ACT = 105

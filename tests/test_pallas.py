@@ -186,8 +186,8 @@ def test_pallas_reduced_width_tiers(rng):
     chroma w=640, bufH=42 against stride 1280 -> W_act=768,
     W_sm=roundup(640+129,128)=896, S_pad=1280 — covering the raw_of
     zero-extension branch and the W_sm/W_act scratch asymmetry."""
-    from sangnom_tpu.ops.pallas_kernel import _width_tiers
+    from sangnom_tpu.core.geometry import width_tiers
 
-    W_act, W_sm, _ = _width_tiers(640, 42, 1280)
+    W_act, W_sm, _ = width_tiers(640, 42, 1280)
     assert W_act < W_sm < 1280, (W_act, W_sm)  # guard the test's own premise
     _run("YUV420P8", 1280, 168, rng, order=1, aa=48, aac=48)

@@ -35,7 +35,7 @@ def test_cost_model_counts():
     width tiers (docs/KERNEL.md table); a silent drift here would corrupt
     the utilization figure bench.py reports."""
     from sangnom_tpu.core.formats import get_format
-    from sangnom_tpu.ops.pallas_kernel import _width_tiers
+    from sangnom_tpu.core.geometry import width_tiers as _width_tiers
     from sangnom_tpu.ops.primitives import KernelSpec
     from sangnom_tpu.utils.cost_model import (
         OPS_PER_COL_ACT,
