@@ -64,21 +64,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--window", type=int, default=None,
                    help="stream in windows of N frames (bounded memory for "
                    "long inputs; default: whole clip at once)")
-    p.add_argument("--overlap-write", action="store_true",
-                   help="with --window: emit finished windows from a "
-                   "writer thread, overlapping window k's device fetch + "
-                   "y4m serialization with window k+1's read/parse "
-                   "(byte-identical output; the single writer preserves "
-                   "emission order)")
+    p.add_argument("--overlap-write", action="store_true", default=None,
+                   help="with --window: pipeline the host stages across "
+                   "threads — a reader thread (parse+upload), the main "
+                   "thread (filter dispatch), and a writer thread (device "
+                   "fetch + y4m serialization) — so end-to-end throughput "
+                   "approaches min(reader, writer, device) instead of "
+                   "their serial sum (byte-identical output; single "
+                   "reader/writer preserve order).  DEFAULT ON when "
+                   "--window is given and the host has >1 CPU.")
+    p.add_argument("--no-overlap-write", dest="overlap_write",
+                   action="store_false",
+                   help="force the single-threaded windowed loop")
     p.add_argument("--fps", default=None,
                    help="output framerate N:D (default: input stream's, "
                    "doubled under --bob)")
-    p.add_argument("--cache-dir", default=os.environ.get(
-                       "SANGNOM_TPU_CACHE_DIR"),
+    p.add_argument("--cache-dir", default=None,
                    help="persistent XLA compilation cache directory: "
                    "repeat invocations skip the first-call compile "
                    "(~20-40s on TPU). Default: $SANGNOM_TPU_CACHE_DIR, "
-                   "else off. The AviSynth host amortizes compile cost by "
+                   "else $XDG_CACHE_HOME/sangnom-tpu/xla "
+                   "(~/.cache/sangnom-tpu/xla); pass an empty string to "
+                   "disable. The AviSynth host amortizes compile cost by "
                    "keeping the process resident; this is the one-shot-CLI "
                    "analogue.")
     p.add_argument("--version", action="version",
@@ -95,10 +102,27 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     args = build_parser().parse_args(argv)
-    if args.cache_dir:
+    cache_dir = args.cache_dir
+    if cache_dir is None:
+        cache_dir = os.environ.get("SANGNOM_TPU_CACHE_DIR")
+    if cache_dir is None:
+        # default ON (round 4, VERDICT_r3 #6): a one-shot CLI pays the full
+        # compile every run without it (measured ~0.9 s even at toy sizes,
+        # results/cachedir_probe_r03.txt; the 1080p TPU programs are tens of
+        # seconds) — persistent caching is the resident-host analogue
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser(
+            "~/.cache")
+        cache_dir = os.path.join(base, "sangnom-tpu", "xla")
+    if cache_dir:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+        except OSError as e:
+            print(f"warning: compile cache disabled ({e})", file=sys.stderr)
+            cache_dir = None
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache every program: the filter dispatches a handful of jits and
         # even the small ones pay trace+compile on a cold process
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -130,6 +154,12 @@ def main(argv: list[str] | None = None) -> int:
             fps = None
         if args.overlap_write and args.window is None:
             raise ValueError("--overlap-write requires --window")
+        if args.overlap_write is None:
+            # default: overlap when the host can actually run the stages in
+            # parallel (a 1-vCPU host would only pay thread switching)
+            args.overlap_write = (
+                args.window is not None and (os.cpu_count() or 1) > 1
+            )
         if args.window is not None:
             return _run_windowed(src, dst, args, fps, t0)
         clip = read_y4m(src, max_frames=args.frames)
@@ -197,6 +227,41 @@ def _filter_one(clip, args):
         threads=args.threads, dh=args.dh, luma=args.luma,
         chroma=args.chroma, opt=args.opt, **compat,
     )
+
+
+def _prefetch_windows(it, depth: int = 2):
+    """Run a window iterator on its own READER thread with a bounded
+    handoff queue: the y4m parse + device upload of window k+1 overlap the
+    main thread's dispatch and the writer thread's fetch/serialize of
+    window k.  Order is preserved (single reader, FIFO queue) so output
+    stays byte-identical; reader exceptions re-raise on the consuming
+    thread.  The bounded queue keeps at most ``depth`` parsed windows in
+    flight (same memory ceiling as the serial loop's lookahead)."""
+    import queue as _queue
+    import threading
+
+    q = _queue.Queue(maxsize=depth)
+    err: list = []
+    done = object()
+
+    def _loop():
+        try:
+            for x in it:
+                q.put(x)
+        except BaseException as e:  # noqa: BLE001 — re-raised on consumer
+            err.append(e)
+        finally:
+            q.put(done)
+
+    threading.Thread(target=_loop, name="sangnom-reader",
+                     daemon=True).start()
+    while True:
+        x = q.get()
+        if x is done:
+            if err:
+                raise err[0]
+            return
+        yield x
 
 
 def _run_windowed(src, dst, args, fps, t0) -> int:
@@ -312,8 +377,12 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
 
     pending = None
     inflight = None  # one-window software pipeline (see below)
+    windows = iter_y4m(src, args.window, max_frames=args.frames)
+    if args.overlap_write:
+        # third pipeline stage: parse+upload on a reader thread
+        windows = _prefetch_windows(windows)
     try:
-        for w in iter_y4m(src, args.window, max_frames=args.frames):
+        for w in windows:
             w = _override_tff(w, args)
             state["in"] += w.num_frames
             if args.bob:

@@ -110,6 +110,44 @@ def test_cli_cache_dir_populates_and_output_identical(rng, tmp_path):
         (tmp_path / "out2.y4m").read_bytes()
 
 
+def test_cli_cache_defaults_to_xdg_path(rng, tmp_path):
+    """Round 4 (VERDICT_r3 #6): without --cache-dir the persistent compile
+    cache defaults ON under $XDG_CACHE_HOME/sangnom-tpu/xla; --cache-dir ''
+    disables it."""
+    import os
+
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([np.zeros((1, 8, 16), np.uint8)],
+                                        fmt))
+    xdg = tmp_path / "xdg"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XDG_CACHE_HOME": str(xdg)}
+    env.pop("SANGNOM_TPU_CACHE_DIR", None)
+
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src),
+         str(tmp_path / "o1.y4m"), "--opt", "0"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr
+    default_dir = xdg / "sangnom-tpu" / "xla"
+    assert default_dir.is_dir() and list(default_dir.iterdir()), \
+        "default cache not populated"
+
+    xdg2 = tmp_path / "xdg2"
+    env["XDG_CACHE_HOME"] = str(xdg2)
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src),
+         str(tmp_path / "o2.y4m"), "--opt", "0", "--cache-dir", ""],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr
+    assert not (xdg2 / "sangnom-tpu").exists(), "'' did not disable cache"
+    assert (tmp_path / "o1.y4m").read_bytes() == \
+        (tmp_path / "o2.y4m").read_bytes()
+
+
 # -- raw planar I/O -----------------------------------------------------------
 @pytest.mark.parametrize("fmt_name", ["GRAYS", "YUVA444P16", "YUV420P8"])
 def test_raw_roundtrip(rng, fmt_name):
@@ -460,6 +498,30 @@ def test_cli_overlap_write_errors(rng, tmp_path):
     )
     assert res.returncode == 2
     assert "--overlap-write requires --window" in res.stderr
+
+
+def test_cli_overlap_reader_thread_errors(rng, tmp_path):
+    """A malformed stream parsed on the READER thread (the --overlap-write
+    prefetch stage, round 4) must surface as the clean exit-2 contract on
+    the main thread, not a hang or a traceback."""
+    import os
+
+    fmt = get_format("GRAY8")
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), Clip.from_numpy([np.zeros((3, 8, 16), np.uint8)],
+                                        fmt))
+    data = src.read_bytes()
+    src.write_bytes(data[: len(data) - 40])  # truncate mid-frame
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    res = subprocess.run(
+        [sys.executable, "-m", "sangnom_tpu", str(src),
+         str(tmp_path / "o.y4m"), "--opt", "0", "--window", "1",
+         "--overlap-write"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 2
+    assert "truncated" in res.stderr
+    assert "Traceback" not in res.stderr
 
 
 def test_y4m_chroma_siting_tag_roundtrip(rng):

@@ -47,8 +47,9 @@ def main() -> None:
         def run(tag: str, dst: Path, cache_dir: Path | None) -> float:
             cmd = [sys.executable, "-m", "sangnom_tpu", str(src), str(dst),
                    "--order", "1", "--dh"]
-            if cache_dir is not None:
-                cmd += ["--cache-dir", str(cache_dir)]
+            # round 4: the cache defaults ON (XDG path) — the uncached arm
+            # must disable it explicitly
+            cmd += ["--cache-dir", str(cache_dir) if cache_dir else ""]
             t0 = time.perf_counter()
             res = subprocess.run(cmd, capture_output=True, text=True)
             dt = time.perf_counter() - t0
