@@ -56,7 +56,10 @@ def main() -> None:
         rng.integers(0, 256, (frames, H // 2, W // 2)).astype(np.uint8),
         rng.integers(0, 256, (frames, H // 2, W // 2)).astype(np.uint8),
     ]
-    clip = Clip.from_numpy(planes, fmt)
+    # host-resident Clip (plain numpy planes): stream synthesis must not
+    # round-trip the device — through the axon tunnel that alone costs
+    # minutes at 1080p batch sizes
+    clip = Clip(planes, fmt)
     src = io.BytesIO()
     write_y4m(src, clip, fps=(30, 1))
     stream = src.getvalue()
