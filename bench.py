@@ -216,10 +216,12 @@ def main() -> None:
     iters = 10
     # warm: compile + one full-rate throwaway pass (BENCH_r03 recorded a
     # first trial 6x the rest — a single warm call does not flush the
-    # first-dispatch overheads, so one untimed trial-shaped pass runs too)
+    # first-dispatch overheads; a 3-call pass still left a 2.7x leak in
+    # BENCH_r04's first trial, so the throwaway pass is trial-shaped)
     _ = float(sync(sangnom2(clip, opt=-1, **kwargs).planes))
     np.asarray(jnp.stack(
-        [sync(sangnom2(clip, opt=-1, **kwargs).planes) for _ in range(3)]))
+        [sync(sangnom2(clip, opt=-1, **kwargs).planes)
+         for _ in range(iters)]))
     trials_o1 = []
     for _trial in range(5):
         t0 = time.perf_counter()
@@ -266,7 +268,7 @@ def main() -> None:
 
     _ = float(sync(bob(clip_bob).planes))  # warm (compile)
     np.asarray(jnp.stack(  # untimed trial-shaped pass (see order=1 note)
-        [sync(bob(clip_bob).planes) for _ in range(3)]))
+        [sync(bob(clip_bob).planes) for _ in range(iters)]))
     trials = []
     for _trial in range(5):
         t0 = time.perf_counter()
