@@ -110,20 +110,31 @@ def test_cli_cache_dir_populates_and_output_identical(rng, tmp_path):
         (tmp_path / "out2.y4m").read_bytes()
 
 
-def test_cli_cache_defaults_to_xdg_path(rng, tmp_path):
+def test_cli_cache_default_policy(rng, tmp_path, monkeypatch):
     """Round 4 (VERDICT_r3 #6): without --cache-dir the persistent compile
-    cache defaults ON under $XDG_CACHE_HOME/sangnom-tpu/xla; --cache-dir ''
-    disables it."""
+    cache defaults ON under $XDG_CACHE_HOME/sangnom-tpu/xla on TPU (where
+    first-call compiles cost tens of seconds) and stays OFF elsewhere
+    (XLA's CPU AOT loader logs an ERROR line per cache load).  Precedence:
+    $SANGNOM_TPU_CACHE_DIR opts in on any backend; --cache-dir '' disables
+    even over the env var."""
     import os
+
+    from sangnom_tpu.cli import _default_cache_dir
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    assert _default_cache_dir("tpu") == str(
+        tmp_path / "xdg" / "sangnom-tpu" / "xla")
+    assert _default_cache_dir("cpu") is None
+    monkeypatch.delenv("XDG_CACHE_HOME")
+    assert _default_cache_dir("tpu").endswith("/.cache/sangnom-tpu/xla")
 
     fmt = get_format("GRAY8")
     src = tmp_path / "in.y4m"
     write_y4m(str(src), Clip.from_numpy([np.zeros((1, 8, 16), np.uint8)],
                                         fmt))
-    xdg = tmp_path / "xdg"
+    cache = tmp_path / "env_cache"
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
-           "XDG_CACHE_HOME": str(xdg)}
-    env.pop("SANGNOM_TPU_CACHE_DIR", None)
+           "SANGNOM_TPU_CACHE_DIR": str(cache)}
 
     res = subprocess.run(
         [sys.executable, "-m", "sangnom_tpu", str(src),
@@ -131,19 +142,18 @@ def test_cli_cache_defaults_to_xdg_path(rng, tmp_path):
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert res.returncode == 0, res.stderr
-    default_dir = xdg / "sangnom-tpu" / "xla"
-    assert default_dir.is_dir() and list(default_dir.iterdir()), \
-        "default cache not populated"
+    assert cache.is_dir() and list(cache.iterdir()), \
+        "env-var cache not populated"
 
-    xdg2 = tmp_path / "xdg2"
-    env["XDG_CACHE_HOME"] = str(xdg2)
+    cache2 = tmp_path / "env_cache2"
+    env["SANGNOM_TPU_CACHE_DIR"] = str(cache2)
     res = subprocess.run(
         [sys.executable, "-m", "sangnom_tpu", str(src),
          str(tmp_path / "o2.y4m"), "--opt", "0", "--cache-dir", ""],
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert res.returncode == 0, res.stderr
-    assert not (xdg2 / "sangnom-tpu").exists(), "'' did not disable cache"
+    assert not cache2.exists(), "'' did not override the env var"
     assert (tmp_path / "o1.y4m").read_bytes() == \
         (tmp_path / "o2.y4m").read_bytes()
 
