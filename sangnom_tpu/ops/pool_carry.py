@@ -152,6 +152,343 @@ POOL_FINALIZE_RECOMPUTE = False
 # Trace-time A/B hook: the shared ops.pallas_kernel._hbox7 (3-roll bulk +
 # edge slabs) vs the naive fully-clamped 6-concat form in the pool kernel.
 POOL_HBOX_SHARED = True
+# Round-4 FULLY-fused pool backend: prepare+smooth+finalize in ONE Pallas
+# walk per plane pass.  BUILT AND REJECTED (A/B hook kept): bit-identical
+# on real Mosaic for both geometries but -5.1% aligned / -2.1% unaligned
+# (results/ab_poolfused_r04.txt) — in-kernel prepare (6 taps7 rolls/step)
+# and finalize EXTEND the serial roll-bound row chain, costing more than
+# the vectorized XLA stages they replace; the same measured lesson as the
+# MXU tap offload ("the tap result is on the critical path").
+POOL_FUSED = False
+# Round-4 split-carry backend: prepare/finalize stay vectorized XLA, the
+# pool rides the frame scan as (row0, body, tail), and the smoothing
+# kernel reads merged rows through VIEW index maps + a last-step tail
+# select, eliminating the per-pass rows-assembly and pool-reconstruction
+# concats (~20 MB accumulator-width each).  BUILT AND REJECTED as a TIE
+# (A/B hook kept): bit-identical on real Mosaic, -0.3% aligned / -0.9%
+# unaligned (results/ab_poolfused_r04.txt) — XLA already overlaps those
+# copies behind the serial kernel+dispatch chain, so removing the traffic
+# buys nothing.  With the fused kernel ALSO measured slower, pool-mode
+# perf is structure-closed at the round-3 tm path: the serial row chain
+# is the bound, not glue traffic.
+POOL_SPLIT3 = False
+
+
+def _pool_fused_kernel(kept_ref, b0_ref, b1_ref, row0_ref, tail_ref,
+                       out_ref, smout_ref, sm_ref, raw_ref, pair_ref, *,
+                       spec: KernelSpec, w: int, S: int, S_pad: int,
+                       bufH_p: int, P: int, aaf, packed: bool):
+    """Fused pool-compat plane pass: grid step t handles pool row b = t+1.
+
+    Per step, IN KERNEL (vs the split path's three XLA/Pallas stages):
+      raw_b1   = error maps of kept pair (b, b+1)        [when b+1 <= R]
+      row_x    = raw_x on cols < w in the prepared rows, the OLD body row
+                 elsewhere (the stale shared-pool reads, SURVEY.md §2 q6)
+      sm_b     = hbox7_clamped_at_S(sm_{b-1} + row_b + row_{b+1}) / 16
+      out[b-1] = finalize(pair (b-1, b) carry, sm_b)     [rows <= R real]
+    The kept plane rides WHOLE in VMEM (accumulator dtype — Mosaic lowers
+    dynamic sublane indexing for i32, not u8: tools/probe_pool_dynrow.py)
+    and rows are read with clamped dynamic indices; the smoothed rows
+    stream out as the NEXT carry body directly.  Bit-exact to the split
+    path by construction: identical primitives, association and clamp
+    geometry (row values match the old rows-assembly cell for cell).
+    """
+    from sangnom_tpu.ops.pallas_kernel import (
+        _col_iota,
+        _error_maps,
+        _finalize,
+        _hbox7,
+        _pack_maps,
+        _pair_values,
+        _taps7,
+        _unpack_sm,
+    )
+    from sangnom_tpu.ops.primitives import calc_sangnom
+
+    t = pl.program_id(0)
+    R = bufH_p - 1  # prepared pool rows are 1..R (caller guarantees R >= 1)
+    kmax = bufH_p - 1
+
+    def krow(i):
+        return kept_ref[pl.ds(jnp.minimum(i, kmax), 1), :]  # (1, S_pad)
+
+    def raw_of(v):
+        m = _error_maps(v, spec, w, S_pad)  # [9, 1, S_pad]; cols >= w zero
+        if packed:
+            m = _pack_maps(m)
+        return m[:, 0, :]  # [C, S_pad]
+
+    @pl.when(t == 0)
+    def _():
+        # seed: pair (0, 1) -> raw row 1; smoothed "row 0" is pool row 0
+        v01 = _pair_values(krow(0), krow(1), spec, w)
+        pair_ref[...] = jnp.concatenate(v01, axis=0)
+        raw_ref[...] = raw_of(v01)
+        sm_ref[...] = row0_ref[0]
+
+    pv = [pair_ref[pl.ds(i, 1), :] for i in range(18)]
+
+    # pair (b, b+1) via the pair-carry reuse trick (ops.pallas_kernel
+    #._kernel: a row's mirror-tap predictors swap roles when it turns
+    # from `next` into `curr`)
+    nt = _taps7(krow(t + 2), w)
+    v12 = pv[7:14] + nt + [
+        pv[17], calc_sangnom(nt[4], nt[3], nt[2], spec),
+        pv[15], calc_sangnom(nt[2], nt[3], nt[4], spec),
+    ]
+    raw_next = raw_of(v12)
+
+    # stale-merge: prepared rows/cols take the raw maps, everything else
+    # reads the OLD body (rows b, b+1), with row P = the never-smoothed
+    # tail row (reference src/SangNom2.cpp:79 vs 129-133)
+    b0 = b0_ref[0]
+    b1 = jnp.where(t == P - 2, tail_ref[0], b1_ref[0])
+    in_w = _col_iota(b0.shape) < w
+    row_b = jnp.where((t <= R - 1) & in_w, raw_ref[...], b0)
+    row_b1 = jnp.where((t + 1 <= R - 1) & in_w, raw_next, b1)
+
+    line = sm_ref[...] + row_b + row_b1
+    h = _hbox7(line, S, S_pad, is_float=spec.is_float)
+    if packed:
+        sm = jnp.right_shift(h, 4) & 0x00FF00FF
+    else:
+        sm = smooth_writeback(h, spec)
+    sm_ref[...] = sm
+    smout_ref[0] = sm
+
+    sm9 = _unpack_sm(sm) if packed else [sm[i][None] for i in range(9)]
+    res = _finalize(pv, sm9, aaf, spec)
+    out_ref[0] = res.astype(out_ref.dtype)
+
+    pair_ref[...] = jnp.concatenate(v12, axis=0)
+    raw_ref[...] = raw_next
+
+
+def _pool_smooth_tail_kernel(init_ref, r0_ref, r1_ref, tail_ref, out_ref,
+                             sm_ref, *, spec: KernelSpec, S: int,
+                             packed: bool, n_last: int):
+    """The R=1 row-scan smoothing kernel on a MERGED rows array that
+    excludes the pool's boundary rows: row 0 rides in as the seed
+    (init_ref) and row P as a const block selected on the LAST step only —
+    reads are value-identical to the concatenated [row0; merged; tail]
+    form, so bit-exactness is structural."""
+    from sangnom_tpu.ops.pallas_kernel import _hbox7
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        sm_ref[...] = init_ref[0]
+
+    r1 = jnp.where(t == n_last, tail_ref[0], r1_ref[0])
+    line = sm_ref[...] + r0_ref[0] + r1
+    h = _hbox7(line, S, line.shape[-1], is_float=spec.is_float)
+    if packed:
+        sm = jnp.right_shift(h, 4) & 0x00FF00FF
+    else:
+        sm = smooth_writeback(h, spec)
+    out_ref[0] = sm
+    sm_ref[...] = sm
+
+
+def _smooth_rows_split3(row0, merged, tail, spec: KernelSpec, packed: bool,
+                        S: int) -> jnp.ndarray:
+    """pallas_call wrapper for `_pool_smooth_tail_kernel`: merged holds
+    pool rows 1..P-1 pre-smoothing ([P-1, C, S_pad]); returns the smoothed
+    rows in the same layout (the next carry body, no reconstruction)."""
+    n, C, S_pad = merged.shape
+    blk = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, C, S_pad), f, memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _pool_smooth_tail_kernel, spec=spec, S=S, packed=packed,
+        n_last=n - 1,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            blk(lambda t: (0, 0, 0)),                       # row0 seed
+            blk(lambda t: (t, 0, 0)),                       # row b = t+1
+            blk(lambda t: (jnp.minimum(t + 1, n - 1), 0, 0)),  # row b+1
+            blk(lambda t: (0, 0, 0)),                       # tail (row P)
+        ],
+        out_specs=blk(lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, C, S_pad), merged.dtype),
+        scratch_shapes=[pltpu.VMEM((C, S_pad), merged.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+    return call(row0, merged, merged, tail)
+
+
+def interp_field_pool_split3(
+    kept: jnp.ndarray, carry, aaf, spec: KernelSpec, S: int
+) -> tuple[jnp.ndarray, tuple]:
+    """Split-carry plane pass (POOL_SPLIT3): prepare/finalize vectorized in
+    XLA exactly as `interp_field_pool_tm`, smoothing through
+    `_smooth_rows_split3` on the (row0, body, tail) carry — for the
+    stride-covering plane (aligned luma) the raw maps feed the kernel with
+    NO rows-assembly copy at all, and no backend ever reconstructs the
+    pool (body := kernel output)."""
+    from sangnom_tpu.ops.pallas_kernel import _packed_smoothing
+    from sangnom_tpu.ops.reference import (
+        error_maps_list,
+        finalize_select_from_taps,
+        pair_taps,
+    )
+
+    row0, body, tail = carry
+    out_dtype = kept.dtype
+    kept = kept.astype(spec.acc_dtype)
+    bufH_p, w = kept.shape
+    Pm1, C, S_pad = body.shape
+    packed = _packed_smoothing(spec)
+
+    R = bufH_p - 1
+    if R >= 1:
+        curr, nxt = kept[:-1], kept[1:]
+        taps, preds = pair_taps(curr, nxt, spec)
+        m = error_maps_list(taps, preds)  # 9 x [R, w]
+        if packed:
+            slabs = [(m[i] << 16) | m[i + 5] for i in range(4)] + [m[4]]
+        else:
+            slabs = m
+        raw = jnp.stack(slabs, axis=1)  # [R, C, w]
+        if w < S_pad:
+            # col-stale merge: prepared rows keep the previous pass's
+            # smoothed data beyond the plane width (SURVEY.md §2 quirk 6)
+            raw = jnp.concatenate([raw, body[:R, :, w:]], axis=2)
+        # row-stale merge: rows R+1..P-1 keep the previous pass's rows
+        merged = (jnp.concatenate([raw, body[R:]], axis=0)
+                  if R < Pm1 else raw)
+    else:
+        merged = body
+
+    sm = _smooth_rows_split3(row0, merged, tail, spec, packed, S)
+    carry = (row0, sm, tail)
+    if bufH_p < 2:
+        return jnp.zeros((0, w), out_dtype), carry
+
+    b = sm[:R, :, :w]
+    if packed:
+        bufs = tuple(b[:, i] >> 16 for i in range(4)) + (b[:, 4],) + tuple(
+            b[:, i] & 0xFFFF for i in range(4)
+        )
+    elif spec.is_float:
+        bufs = jnp.moveaxis(b, 1, 0)  # array form keeps jnp.min for fp
+    else:
+        bufs = tuple(b[:, i] for i in range(9))
+    res = finalize_select_from_taps(taps, preds, bufs, aaf, spec)
+    return res.astype(out_dtype), carry
+
+
+def interp_field_pool_fused(
+    kept: jnp.ndarray, carry, aaf, spec: KernelSpec, S: int
+) -> tuple[jnp.ndarray, tuple]:
+    """Fused-backend plane pass on the split carry (row0, body, tail), each
+    [*, C, S_pad] accumulator-dtype (packed for u8; lane-padded — ``S`` is
+    the TRUE buffer stride the hbox clamps at).  Returns
+    (interp [bufH_p-1, w] storage-dtype, new carry) — the kernel's smoothed
+    rows ARE the next body, no pool reconstruction."""
+    row0, body, tail = carry
+    out_dtype = kept.dtype
+    bufH_p, w = kept.shape
+    Pm1, C, S_pad = body.shape
+    P = Pm1 + 1
+
+    if bufH_p < 2:
+        # degenerate plane (kept field < 2 rows): no prepare/finalize, but
+        # the full pool still smooths — reuse the row-scan kernel on the
+        # assembled rows at the TRUE stride (clamp semantics; the padding
+        # lanes are garbage-but-unread and simply rewritten)
+        rows = jnp.concatenate([row0, body, tail], axis=0)[:, :, :S]
+        sm = _smooth_rows_pallas(rows, spec, _fused_packed(spec))
+        if S_pad > S:
+            sm = jnp.pad(sm, ((0, 0), (0, 0), (0, S_pad - S)))
+        return jnp.zeros((0, w), out_dtype), (row0, sm, tail)
+
+    packed = _fused_packed(spec)
+    kept_acc = kept.astype(spec.acc_dtype)
+    if w < S_pad:
+        kept_acc = jnp.pad(kept_acc, ((0, 0), (0, S_pad - w)))
+
+    kernel = functools.partial(
+        _pool_fused_kernel, spec=spec, w=w, S=S, S_pad=S_pad,
+        bufH_p=bufH_p, P=P, aaf=aaf, packed=packed,
+    )
+    n = P - 1
+    body_blk = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, C, S_pad), f, memory_space=pltpu.VMEM
+    )
+    out, sm = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((bufH_p, S_pad), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            body_blk(lambda t: (jnp.minimum(t, P - 2), 0, 0)),
+            body_blk(lambda t: (jnp.minimum(t + 1, P - 2), 0, 0)),
+            body_blk(lambda t: (0, 0, 0)),
+            body_blk(lambda t: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, S_pad), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            body_blk(lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1, S_pad), spec.acc_dtype),
+            jax.ShapeDtypeStruct((n, C, S_pad), spec.acc_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((C, S_pad), spec.acc_dtype),   # sm row b-1
+            pltpu.VMEM((C, S_pad), spec.acc_dtype),   # raw row b
+            pltpu.VMEM((18, S_pad), spec.acc_dtype),  # pair (b, b+1)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(kept_acc, body, body, row0, tail)
+    interp = out[: bufH_p - 1, 0, :w].astype(out_dtype)
+    return interp, (row0, sm, tail)
+
+
+def _fused_packed(spec: KernelSpec) -> bool:
+    from sangnom_tpu.ops.pallas_kernel import _packed_smoothing
+
+    return _packed_smoothing(spec)
+
+
+def _pool_split_fused(pool: jnp.ndarray, spec: KernelSpec):
+    """Public pool [9, P+1, S] -> the fused carry (row0, body, tail), each
+    [*, C, S_pad] (packed pairs for u8, lane-padded).  Exact both ways —
+    padding lanes are never read (the hbox clamps at S) and rewritten
+    every pass."""
+    from sangnom_tpu.ops.pallas_kernel import _pack_maps
+
+    S = pool.shape[2]
+    x = _pack_maps(pool) if _fused_packed(spec) else pool
+    x = jnp.moveaxis(x, 1, 0)  # [P+1, C, S]
+    S_pad = max(-(-S // 128) * 128, 128)
+    if S_pad > S:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, S_pad - S)))
+    return x[:1], x[1:-1], x[-1:]
+
+
+def _pool_join_fused(carry, spec: KernelSpec, S: int) -> jnp.ndarray:
+    """Inverse of `_pool_split_fused`."""
+    from sangnom_tpu.ops.pallas_kernel import _unpack_sm
+
+    row0, body, tail = carry
+    x = jnp.concatenate([row0, body, tail], axis=0)[:, :, :S]
+    x = jnp.moveaxis(x, 0, 1)
+    if _fused_packed(spec):
+        x = jnp.stack(_unpack_sm(x))
+    return x
 
 
 def smooth_pool_pallas(pool: jnp.ndarray, spec: KernelSpec,
@@ -662,8 +999,21 @@ def sangnom2_pool_impl(
             planes, offsets, fmt, spec, aafs, dh, process
         )
 
-    carry0 = _pool_pack_tm(pool0, spec) if use_pallas else pool0
-    plane_pass = interp_field_pool_tm if use_pallas else interp_field_pool
+    use_fused = use_pallas and POOL_FUSED
+    use_split3 = use_pallas and not use_fused and POOL_SPLIT3
+    if use_fused or use_split3:
+        stride = pool0.shape[2]
+        carry0 = _pool_split_fused(pool0, spec)
+        plane_pass = functools.partial(
+            interp_field_pool_fused if use_fused else
+            interp_field_pool_split3, S=stride,
+        )
+    elif use_pallas:
+        carry0 = _pool_pack_tm(pool0, spec)
+        plane_pass = interp_field_pool_tm
+    else:
+        carry0 = pool0
+        plane_pass = interp_field_pool
 
     def frame_step(pool, xs):
         fplanes = xs[:-1]
@@ -688,7 +1038,9 @@ def sangnom2_pool_impl(
         (jnp.zeros((N,), jnp.int32),) if static_off else (offsets,)
     )
     final_pool, outs = jax.lax.scan(frame_step, carry0, xs)
-    if use_pallas:
+    if use_fused or use_split3:
+        final_pool = _pool_join_fused(final_pool, spec, stride)
+    elif use_pallas:
         final_pool = _pool_unpack_tm(final_pool, spec)
     return outs, final_pool
 
