@@ -1,0 +1,57 @@
+"""CI coverage for the kept-but-default-off pool backend hooks.
+
+POOL_FUSED and POOL_SPLIT3 were built, hardware-verified bit-identical and
+REJECTED on perf (results/ab_poolfused_r04.txt) — they remain as A/B hooks
+for re-probing, so CI must keep them bit-exact against the default path or
+a future re-probe would measure a broken arm (the poolfast_ab_r03b lesson).
+"""
+
+import numpy as np
+import pytest
+
+from sangnom_tpu import Clip, get_format, sangnom2
+from sangnom_tpu.ops import pool_carry
+
+
+@pytest.fixture
+def _restore_flags():
+    fused, split3 = pool_carry.POOL_FUSED, pool_carry.POOL_SPLIT3
+    yield
+    pool_carry.POOL_FUSED, pool_carry.POOL_SPLIT3 = fused, split3
+
+
+@pytest.mark.parametrize("hook", ["fused", "split3"])
+@pytest.mark.parametrize(
+    "fmt_name,w,h,kw",
+    [
+        ("YUV420P8", 64, 16, dict(order=1, dh=True)),          # aligned
+        ("YUV420P8", 52, 16, dict(order=2)),                   # unaligned
+        ("GRAY16", 48, 12, dict(order=1, numerics="sse2")),    # u16 sse2
+        ("GRAYS", 64, 12, dict(order=0)),                      # float
+    ],
+)
+def test_hook_backends_match_scan(rng, _restore_flags, hook, fmt_name, w, h,
+                                  kw):
+    fmt = get_format(fmt_name)
+    planes = []
+    for i in range(fmt.num_planes):
+        pw, ph = fmt.plane_dims(w, h, i)
+        if fmt.is_float:
+            planes.append((rng.random((3, ph, pw), np.float32) * 2 - 0.5)
+                          .astype(np.float32))
+        else:
+            top = (1 << (8 * fmt.component_size)) - 1
+            planes.append(
+                rng.integers(0, top + 1, (3, ph, pw)).astype(fmt.dtype))
+    parity = np.arange(3) % 2 == 0
+    clip = Clip.from_numpy(planes, fmt, parity=parity)
+
+    want = sangnom2(clip, pool_compat=True, opt=0, **kw)
+
+    pool_carry.POOL_FUSED = hook == "fused"
+    pool_carry.POOL_SPLIT3 = hook == "split3"
+    got = sangnom2(clip, pool_compat=True, opt=1, **kw)
+    for i, (a, b) in enumerate(zip(got.planes, want.planes)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"{hook} plane {i} differs from scan")
