@@ -40,11 +40,12 @@ from pathlib import Path
 import numpy as np
 
 # Best-of-runs measurement of the reference SSE2 path on this host
-# (tools/sse2_baseline; best observed 2026-08-17, uncontended single core:
-# ~9.5 ms/frame 1080p YUV420 bob+dh).  Used as a floor: this host's lone
-# vCPU is shared — contended live runs measure as low as ~39 fps, and a
-# depressed baseline must not flatter vs_baseline.
-SSE2_MEASURED_FPS_RECORDED = 105.2
+# (tools/sse2_baseline; best observed 2026-08-20 during the round-4 close,
+# uncontended single core: ~8.7 ms/frame 1080p YUV420 bob+dh — supersedes
+# the 2026-08-17 105.2).  Used as a floor: this host's lone vCPU is shared
+# — contended live runs measure as low as ~39 fps, and a depressed
+# baseline must not flatter vs_baseline.
+SSE2_MEASURED_FPS_RECORDED = 114.6
 
 
 def log(*a):
@@ -334,13 +335,20 @@ def main() -> None:
                 return None
             _ = float(sync(
                 sangnom2(clip_p, pool_compat=True, **kwargs).planes))
-            t0 = time.perf_counter()
-            acc = [sync(sangnom2(clip_p, pool_compat=True, **kwargs).planes)
-                   for _ in range(3)]
-            np.asarray(jnp.stack(acc))
-            f = n_frames / ((time.perf_counter() - t0) / 3)
+            # best of 3 timing rounds: the first post-warm window measures
+            # up to 5x slow on this chip (the same first-trial depression
+            # the headline sections warm through; BENCH_r04_final recorded
+            # 195 vs 570 fps from a single unlucky window)
+            best = float("inf")
+            for _r in range(3):
+                t0 = time.perf_counter()
+                acc = [sync(sangnom2(clip_p, pool_compat=True,
+                                     **kwargs).planes) for _ in range(3)]
+                np.asarray(jnp.stack(acc))
+                best = min(best, (time.perf_counter() - t0) / 3)
+            f = n_frames / best
             log(f"pool_compat {label}: {f:.1f} frames/s "
-                f"(sequential carried-state scan)")
+                f"(sequential carried-state scan, best of 3 rounds)")
             return f
 
         clip_p = Clip.from_numpy([p[:Bp] for p in planes], fmt)
