@@ -257,25 +257,44 @@ def _prefetch_windows(it, depth: int = 2):
     q = _queue.Queue(maxsize=depth)
     err: list = []
     done = object()
+    stop = threading.Event()
+
+    def _put(x) -> bool:
+        # bounded put that gives up when the consumer is gone — without
+        # this, an error in the windowed loop would leave the reader
+        # thread blocked in q.put forever, pinning its parsed+uploaded
+        # windows and the input stream (an in-process host calling
+        # cli.main() repeatedly would accumulate them)
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _loop():
         try:
             for x in it:
-                q.put(x)
+                if not _put(x):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised on consumer
             err.append(e)
         finally:
-            q.put(done)
+            _put(done)
 
     threading.Thread(target=_loop, name="sangnom-reader",
                      daemon=True).start()
-    while True:
-        x = q.get()
-        if x is done:
-            if err:
-                raise err[0]
-            return
-        yield x
+    try:
+        while True:
+            x = q.get()
+            if x is done:
+                if err:
+                    raise err[0]
+                return
+            yield x
+    finally:
+        stop.set()
 
 
 def _run_windowed(src, dst, args, fps, t0) -> int:

@@ -21,6 +21,18 @@ resolves lazily); `tests/test_vapoursynth_host.py` drives it against a
 mock implementing the exact host surface used here, and the same code path
 runs unchanged against a real `vapoursynth` module.
 
+THREADING NOTE: window batching means a selector may request OTHER source
+frames of its window (`src.get_frame`) — a nested request that needs a
+free VS worker thread.  The adapter never holds its cache lock across
+those fetches, but under heavily parallel frame requests a stateful
+Python filter can still exhaust the worker pool (every worker inside a
+selector waiting on the same window).  If the host hangs, serialize
+requests on this node (e.g. ``vspipe -r 1`` or ``core.num_threads = 1``)
+or set ``batch=1`` (no cross-frame requests at all; TPU batching is then
+per-frame).  ``pool_compat=True`` chains windows through the carried pool
+state in clip order (byte-identical to whole-clip processing); random
+access behind the chain restarts it from frame 0.
+
 Usage (inside a .vpy script):
 
     import vapoursynth as vs
@@ -60,10 +72,20 @@ def _format_name_from_vs(fmt) -> str:
     sample_type, subsampling_w/h).  RGB and half-float formats raise the
     same fail-fast validation error the factory surface would."""
     vs = _vs()
+
+    def check_bits(bits, is_float):
+        if is_float and bits != 32:
+            raise SangNomError("SangNom2: only 32-bit float is supported.")
+        if not is_float and bits not in (8, 10, 12, 14, 16):
+            # VS also has 9/11/13-bit formats; the registry (and the
+            # reference's y4m-adjacent ecosystem) carries the even depths
+            raise SangNomError(
+                f"SangNom2: unsupported bit depth {bits} "
+                f"(supported: 8/10/12/14/16-bit integer, 32-bit float).")
+
     if fmt.color_family == vs.GRAY:
+        check_bits(fmt.bits_per_sample, fmt.sample_type == vs.FLOAT)
         if fmt.sample_type == vs.FLOAT:
-            if fmt.bits_per_sample != 32:
-                raise SangNomError("SangNom2: only 32-bit float is supported.")
             return "GRAYS"
         return f"GRAY{fmt.bits_per_sample}" if fmt.bits_per_sample > 8 else "GRAY8"
     if fmt.color_family != vs.YUV:
@@ -74,9 +96,8 @@ def _format_name_from_vs(fmt) -> str:
         raise SangNomError(
             f"SangNom2: unsupported subsampling "
             f"{fmt.subsampling_w}x{fmt.subsampling_h}.")
+    check_bits(fmt.bits_per_sample, fmt.sample_type == vs.FLOAT)
     if fmt.sample_type == vs.FLOAT:
-        if fmt.bits_per_sample != 32:
-            raise SangNomError("SangNom2: only 32-bit float is supported.")
         return f"YUV{sub}PS"
     return f"YUV{sub}P{fmt.bits_per_sample}"
 
@@ -104,8 +125,14 @@ def _frame_parity(frame, n: int, tff: bool) -> bool:
 class _WindowRunner:
     """Batches frame requests into TPU-sized windows with a tiny cache.
 
-    Thread-safe (the VS frame server is multi-threaded); the lock
-    serializes TPU submission, which is what a single device wants anyway.
+    Thread-safe for the VS frame server's parallel requests: the cache
+    lock is never held across source-frame fetches (`fetch_frame` runs the
+    host's own `get_frame`, which needs a free worker thread — holding a
+    lock around it is the classic stateful-Python-filter deadlock, see the
+    module docstring's threading note), and ``pool_compat`` windows chain
+    through the carried pool state IN ORDER under a dedicated chain lock —
+    output is byte-identical to whole-clip processing, exactly like the
+    CLI's --window streaming (`sangnom2_pool_stream`).
     """
 
     def __init__(self, src, fmt_name: str, params: dict, tff: bool,
@@ -116,22 +143,64 @@ class _WindowRunner:
         self.tff = tff
         self.batch = max(1, batch)
         self.cache_windows = max(1, cache_windows)
+        self.legacy = bool(params.get("_legacy", False))
+        self.pool_compat = bool(params.get("pool_compat", False))
         self._cache: dict[int, list[np.ndarray]] = {}  # window start -> planes
         self._order: list[int] = []
         self._lock = threading.Lock()
+        self._chain = threading.Lock()  # pool_compat: windows run in order
+        self._pool_state = None
+        self._pool_next = 0  # next window start the pool chain will compute
 
-    def _run_window(self, start: int, frames: list) -> list[np.ndarray]:
+    def _to_clip(self, frames):
         planes = [
             np.stack([fr["planes"][i] for fr in frames])
             for i in range(self.fmt.num_planes)
         ]
         parity = np.asarray([fr["parity"] for fr in frames], bool)
-        clip = Clip.from_numpy(planes, self.fmt, parity=parity)
-        fn = _REGISTRY["SangNom" if self.params.get("_legacy") else
-                       "SangNom2"]
+        return Clip.from_numpy(planes, self.fmt, parity=parity)
+
+    def _run_window(self, frames: list) -> list[np.ndarray]:
+        clip = self._to_clip(frames)
         params = {k: v for k, v in self.params.items() if k != "_legacy"}
-        out = fn(clip, **params)
+        if self.pool_compat:
+            # the pool is genuine cross-frame state: thread it through the
+            # windows exactly as the CLI's --window mode does
+            from sangnom_tpu.api import _LEGACY_ORDER_REMAP, _validate
+            from sangnom_tpu.ops.sangnom import sangnom2_pool_stream
+
+            kw = {k: params[k] for k in
+                  ("order", "aa", "aac", "dh", "luma", "chroma",
+                   "numerics", "opt") if k in params}
+            if self.legacy:
+                # the legacy surface has no dh/luma/chroma knobs; mirror
+                # sangnom()'s fixed defaults (same policy as the CLI)
+                _validate("SangNom", clip, kw.get("order", 1),
+                          kw.get("aa", 48), 0, kw.get("opt", -1))
+                order = kw.get("order", 1)
+                kw = dict(order=_LEGACY_ORDER_REMAP[order]
+                          if order != 1 else 1,
+                          aa=kw.get("aa", 48), opt=kw.get("opt", -1),
+                          numerics=kw.get("numerics", "c"))
+            out, self._pool_state = sangnom2_pool_stream(
+                clip, self._pool_state, **kw)
+        else:
+            fn = _REGISTRY["SangNom" if self.legacy else "SangNom2"]
+            out = fn(clip, **params)
         return [np.asarray(p) for p in out.planes]
+
+    def _fetch(self, start: int, fetch_frame) -> list:
+        end = min(start + self.batch, self.src.num_frames)
+        return [fetch_frame(k) for k in range(start, end)]
+
+    def _store(self, start: int, outs) -> None:
+        self._cache[start] = outs
+        self._order.append(start)
+        while len(self._order) > self.cache_windows:
+            self._cache.pop(self._order.pop(0), None)
+
+    def _slice(self, start: int, n: int) -> list[np.ndarray]:
+        return [p[n - start] for p in self._cache[start]]
 
     def get(self, n: int, fetch_frame) -> list[np.ndarray]:
         """Output planes of frame ``n`` ([h, w] numpy per plane);
@@ -139,19 +208,36 @@ class _WindowRunner:
         source frame k."""
         start = (n // self.batch) * self.batch
         with self._lock:
-            if start not in self._cache:
-                end = min(start + self.batch, self.src_num_frames)
-                frames = [fetch_frame(k) for k in range(start, end)]
-                self._cache[start] = self._run_window(start, frames)
-                self._order.append(start)
-                while len(self._order) > self.cache_windows:
-                    self._cache.pop(self._order.pop(0), None)
-            outs = self._cache[start]
-            return [p[n - start] for p in outs]
+            if start in self._cache:
+                return self._slice(start, n)
 
-    @property
-    def src_num_frames(self) -> int:
-        return self.src.num_frames
+        if not self.pool_compat:
+            frames = self._fetch(start, fetch_frame)  # no lock held
+            with self._lock:
+                if start not in self._cache:
+                    self._store(start, self._run_window(frames))
+                return self._slice(start, n)
+
+        # pool_compat: compute every window up to `start` in clip order,
+        # threading the pool state.  A request behind the chain (and out
+        # of cache) restarts it from frame 0 — correct for random access,
+        # efficient for the sequential playback the mode is meant for.
+        with self._chain:
+            with self._lock:
+                if start in self._cache:
+                    return self._slice(start, n)
+                if start < self._pool_next:
+                    self._pool_state, self._pool_next = None, 0
+            s = self._pool_next
+            while s <= start:
+                frames = self._fetch(s, fetch_frame)  # no cache lock held
+                outs = self._run_window(frames)
+                with self._lock:
+                    self._store(s, outs)
+                    self._pool_next = s + self.batch
+                s += self.batch
+            with self._lock:
+                return self._slice(start, n)
 
 
 def _wrap(src, params: dict, batch: int, tff: bool | None, legacy: bool):
@@ -190,6 +276,19 @@ def _wrap(src, params: dict, batch: int, tff: bool | None, legacy: bool):
         outs = runner.get(n, fetch)
         for i, plane in enumerate(outs):
             np.asarray(fout[i])[...] = plane
+        # propagate the SOURCE frame's props (colorimetry, range,
+        # timecodes — the v8 NewVideoFrameP analogue, reference
+        # src/SangNom2.cpp:344); the filter emits progressive content, so
+        # field-ness props are rewritten rather than forwarded
+        fprops = getattr(fout, "props", None)
+        if fprops is not None:
+            for k, v in (getattr(src_frame, "props", {}) or {}).items():
+                fprops[k] = v
+            fprops["_FieldBased"] = 0
+            try:
+                del fprops["_Field"]
+            except KeyError:
+                pass
         return fout
 
     return core.std.ModifyFrame(clip=blank, clips=[blank, src],

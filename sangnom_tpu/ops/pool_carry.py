@@ -51,6 +51,7 @@ from sangnom_tpu.core.geometry import (
     aaf_as_pixel,
     buffer_height,
     buffer_stride_elems,
+    round_up,
     scaled_aa_thresholds,
 )
 from sangnom_tpu.ops.primitives import KernelSpec, smooth_writeback
@@ -473,7 +474,7 @@ def _pool_split_fused(pool: jnp.ndarray, spec: KernelSpec):
     S = pool.shape[2]
     x = _pack_maps(pool) if _fused_packed(spec) else pool
     x = jnp.moveaxis(x, 1, 0)  # [P+1, C, S]
-    S_pad = max(-(-S // 128) * 128, 128)
+    S_pad = max(round_up(S, 128), 128)
     if S_pad > S:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, S_pad - S)))
     return x[:1], x[1:-1], x[-1:]
@@ -532,7 +533,7 @@ def _smooth_rows_pallas(rows: jnp.ndarray, spec: KernelSpec, packed: bool,
     directly, with no full-pool transposes."""
     Pp1, C, S = rows.shape
     n = Pp1 - 2  # smoothed rows 1..P-1
-    S_pad = max(-(-S // 128) * 128, 128)
+    S_pad = max(round_up(S, 128), 128)
     if S_pad > S:
         rows = jnp.pad(rows, ((0, 0), (0, 0), (0, S_pad - S)))
 

@@ -143,6 +143,59 @@ def test_adapter_order0_field_props(rng, monkeypatch):
                 f[i], np.asarray(want.planes[i])[n])
 
 
+def test_adapter_pool_compat_chains_across_windows(rng, monkeypatch):
+    """pool_compat through the adapter must be byte-identical to whole-clip
+    processing even when the batch window is smaller than the clip — the
+    pool is cross-frame state and chains through the windows (the round-4
+    review's confirmed repro: unaligned w=52, batch=3, plane 0 diverged at
+    frame 3 before the fix)."""
+    vs = _install_mock(monkeypatch)
+    from sangnom_tpu.hosts.vapoursynth import SangNom2
+
+    node, stacked = _src_node(vs, rng, w=52, h=16, n=7)
+    out = SangNom2(node, order=2, opt=0, batch=3, pool_compat=True)
+    want = sangnom2(Clip.from_numpy(stacked, "YUV420P8"),
+                    order=2, opt=0, pool_compat=True)
+    for n in range(7):
+        f = out.get_frame(n)
+        for i in range(3):
+            np.testing.assert_array_equal(
+                f[i], np.asarray(want.planes[i])[n],
+                err_msg=f"frame {n} plane {i}")
+    # random access BEHIND the chain restarts it — still byte-identical
+    f0 = out.get_frame(0)
+    for i in range(3):
+        np.testing.assert_array_equal(f0[i], np.asarray(want.planes[i])[0])
+
+
+def test_adapter_propagates_source_props(rng, monkeypatch):
+    """Output frames carry the SOURCE frame's props (colorimetry/range),
+    with field-ness rewritten to progressive."""
+    vs = _install_mock(monkeypatch)
+    from sangnom_tpu.hosts.vapoursynth import SangNom2
+
+    props = {k: {"_Matrix": 1, "_ColorRange": 1, "_Field": k % 2}
+             for k in range(6)}
+    node, _ = _src_node(vs, rng, props=props)
+    out = SangNom2(node, order=0, opt=0, batch=8)
+    f = out.get_frame(2)
+    assert f.props["_Matrix"] == 1 and f.props["_ColorRange"] == 1
+    assert f.props["_FieldBased"] == 0
+    assert "_Field" not in f.props
+
+
+def test_adapter_rejects_unsupported_depth(rng, monkeypatch):
+    """9-bit VS formats raise the adapter's fail-fast SangNomError, not a
+    raw registry KeyError."""
+    vs = _install_mock(monkeypatch)
+    from sangnom_tpu.hosts.vapoursynth import SangNom2
+
+    node, _ = _src_node(vs, rng)
+    node.format = _MockFormat(vs.YUV, 9, vs.INTEGER, 1, 1)
+    with pytest.raises(SangNomError, match="unsupported bit depth 9"):
+        SangNom2(node)
+
+
 def test_adapter_legacy_and_errors(rng, monkeypatch):
     vs = _install_mock(monkeypatch)
     from sangnom_tpu.hosts.vapoursynth import SangNom, register
