@@ -15,9 +15,31 @@ from sangnom_tpu.ops import pool_carry
 
 @pytest.fixture
 def _restore_flags():
-    fused, split3 = pool_carry.POOL_FUSED, pool_carry.POOL_SPLIT3
+    flags = (pool_carry.POOL_FUSED, pool_carry.POOL_SPLIT3,
+             pool_carry.POOL_FAST)
     yield
-    pool_carry.POOL_FUSED, pool_carry.POOL_SPLIT3 = fused, split3
+    (pool_carry.POOL_FUSED, pool_carry.POOL_SPLIT3,
+     pool_carry.POOL_FAST) = flags
+
+
+def test_pool_fast_hook_matches_scan(rng, _restore_flags):
+    """The rejected frame-parallel fast path (POOL_FAST) stays parity-
+    pinned in interpret mode on its engagement geometry (stride-aligned
+    width, luma first, no caller pool0).  NOTE: this cannot prove Mosaic-
+    side safety — one hardware run recorded a bit-identity failure
+    (results/poolfast_ab_r03b.txt), which is why the flag is off."""
+    fmt = get_format("YUV420P8")
+    planes = [rng.integers(0, 256, (3, 16, 64)).astype(np.uint8),
+              rng.integers(0, 256, (3, 8, 32)).astype(np.uint8),
+              rng.integers(0, 256, (3, 8, 32)).astype(np.uint8)]
+    clip = Clip.from_numpy(planes, fmt)
+    want = sangnom2(clip, pool_compat=True, opt=0, order=1, dh=True)
+    pool_carry.POOL_FUSED = pool_carry.POOL_SPLIT3 = False
+    pool_carry.POOL_FAST = True
+    assert pool_carry._frames_independent(64, 16, fmt, True, True)
+    got = sangnom2(clip, pool_compat=True, opt=1, order=1, dh=True)
+    for a, b in zip(got.planes, want.planes):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.parametrize("hook", ["fused", "split3"])
