@@ -23,14 +23,20 @@ from sangnom_tpu.parallel.sharding import _sharded_jit
 
 
 def _count(jaxpr, in_scan=False, acc=None):
-    """Recursively count ppermute eqns, split by scan-body membership, and
-    record top-level scan trip counts."""
+    """Recursively count ppermute eqns (with operand dtype/shape — the
+    BYTES side of the contract), split by scan-body membership, and record
+    top-level scan trip counts."""
     if acc is None:
-        acc = {"outside": 0, "inside_scan": 0, "scan_lengths": []}
+        acc = {"outside": 0, "inside_scan": 0, "scan_lengths": [],
+               "operands": []}
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         if name == "ppermute":
             acc["inside_scan" if in_scan else "outside"] += 1
+            v = eqn.invars[0].aval
+            acc["operands"].append(
+                ("scan" if in_scan else "top", str(v.dtype),
+                 tuple(v.shape)))
         sub_in_scan = in_scan or name in ("scan", "while")
         if name == "scan" and not in_scan:
             acc["scan_lengths"].append(eqn.params.get("length"))
@@ -71,9 +77,18 @@ def test_fused_collectives_gray8():
     R = min(chunk_rows=16, n_tot=16, (32-6)//3=8) = 8 rows/chunk, weave grid
     n_tot = bufH = 16 -> 2 chunks.  Contract: 2 ppermutes outside the scan
     (the one kept exchange), 2 inside (the one carry exchange per chunk),
-    scan trip count 2."""
+    scan trip count 2 — AND the bytes: the kept exchange moves the STORAGE
+    dtype (u8, 4x less ICI than widened) at HALO = 3R+6 = 30 columns, the
+    carry exchange the 5 packed i32 slabs at the same halo."""
     acc = _audit("GRAY8", "fused", 1)
-    assert acc == {"outside": 2, "inside_scan": 2, "scan_lengths": [2]}, acc
+    assert (acc["outside"], acc["inside_scan"]) == (2, 2), acc
+    assert acc["scan_lengths"] == [2], acc
+    assert acc["operands"] == [
+        ("top", "uint8", (2, 16, 30)),
+        ("top", "uint8", (2, 16, 30)),
+        ("scan", "int32", (5, 2, 30)),
+        ("scan", "int32", (5, 2, 30)),
+    ], acc["operands"]
 
 
 def test_fused_collectives_yuv420():
@@ -84,6 +99,11 @@ def test_fused_collectives_yuv420():
     assert acc["outside"] == 4, acc      # one kept exchange per plane pass
     assert acc["inside_scan"] == 4, acc  # one carry exchange per chunk scan
     assert sorted(acc["scan_lengths"]) == [2, 3], acc
+    # bytes contract holds per pass: kept exchanges ride the storage dtype
+    # outside the scans, carry exchanges the accumulator inside them
+    for where, dt, _shape in acc["operands"]:
+        assert (dt == "uint8") == (where == "top"), acc["operands"]
+        assert (dt == "int32") == (where == "scan"), acc["operands"]
 
 
 def test_scan_backend_exchanges_per_row():
@@ -113,5 +133,5 @@ def test_fused_collectives_frame_chunked():
         acc = _audit("GRAY8", "fused", 1, n_frames=16)
     finally:
         pk._CHUNK_CAP = old
-    assert acc == {"outside": 2, "inside_scan": 4,
-                   "scan_lengths": [2, 2]}, acc
+    assert (acc["outside"], acc["inside_scan"]) == (2, 4), acc
+    assert acc["scan_lengths"] == [2, 2], acc
