@@ -15,7 +15,7 @@ Baseline: the reference's OWN SSE2 path, measured single-core on this host
 (tools/sse2_baseline compiles /root/reference/src/SangNom2_SSE2.cpp in place
 behind a shim header and times its prepare/9x-process/finalize pipeline on
 the same workload).  If the reference tree or toolchain is unavailable, the
-recorded best-of-runs from 2026-08-17 on this host is used (105.2 fps,
+recorded best-of-runs from 2026-08-20 on this host is used (114.6 fps,
 uncontended; SSE2_MEASURED_FPS_RECORDED — also the FLOOR for contended
 live runs, with the live number recorded alongside for audit).
 ``vs_baseline`` is TPU fps over measured SSE2 fps; the north-star target
