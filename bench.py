@@ -52,6 +52,85 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# --- regression gate (VERDICT_r4 #3) ---------------------------------------
+# The gate compares the live numbers against the best committed history
+# (BENCH_r*.json at the repo root — the driver's per-round records) and
+# LOUDLY flags any throughput metric that lands more than REGRESSION_TOL
+# below its historical best.  Tolerance default 10% per the documented
+# cross-process contention spread (CLAUDE.md: +-8%); override with
+# SANGNOM_BENCH_TOLERANCE (fraction, e.g. 0.15).  The gate flags rather
+# than exits: a contended trial must not zero out an otherwise-valid
+# driver record, but the `regression` field makes a real drop impossible
+# to ship silently.  Parity failures still exit nonzero as before.
+
+REGRESSION_TOL = float(os.environ.get("SANGNOM_BENCH_TOLERANCE", "0.10"))
+
+#: throughput keys gated at the top level of the bench JSON
+GATED_KEYS = ("value", "order1_dh_fps", "pool_compat_fps",
+              "pool_compat_carried_fps")
+
+
+def flatten_bench(rec: dict) -> dict:
+    """Flat {metric: fps} map from one bench JSON (driver records wrap the
+    line under "parsed"; a raw bench line is accepted as-is)."""
+    rec = rec.get("parsed", rec)
+    out = {}
+    for k in GATED_KEYS:
+        v = rec.get(k)
+        if isinstance(v, (int, float)) and v > 0:
+            out[k] = float(v)
+    for name, cfg in (rec.get("configs") or {}).items():
+        v = cfg.get("fps") if isinstance(cfg, dict) else None
+        if isinstance(v, (int, float)) and v > 0 and cfg.get("parity") == "ok":
+            out[f"configs.{name}"] = float(v)
+    return out
+
+
+def load_bench_history(root: Path) -> list[dict]:
+    """All committed BENCH_r*.json records, oldest first; unreadable or
+    non-JSON files are skipped (the gate must never crash the bench)."""
+    hist = []
+    for p in sorted(root.glob("BENCH_r*.json")):
+        try:
+            hist.append(json.loads(p.read_text()))
+        except Exception as e:
+            log(f"regression gate: skipping {p.name}: {e}")
+    return hist
+
+
+def check_regression(current: dict, history: list[dict],
+                     tolerance: float = REGRESSION_TOL) -> dict:
+    """Pure gate logic (unit-tested in tests/test_bench_gate.py).
+
+    Returns {"ok", "tolerance_pct", "best", "regressions"} where ``best``
+    maps each gated metric to its best-of-history fps and ``regressions``
+    lists metrics whose current value is below best*(1-tolerance).
+    Metrics with no history (new configs) pass vacuously.
+    """
+    best: dict[str, float] = {}
+    for rec in history:
+        for k, v in flatten_bench(rec).items():
+            best[k] = max(best.get(k, 0.0), v)
+    cur = flatten_bench(current)
+    regressions = []
+    for k, floor_src in best.items():
+        v = cur.get(k)
+        if v is None:
+            continue  # metric not measured this run (e.g. --headline-only)
+        if v < floor_src * (1.0 - tolerance):
+            regressions.append({
+                "metric": k, "current": round(v, 1),
+                "best": round(floor_src, 1),
+                "drop_pct": round((1.0 - v / floor_src) * 100, 1),
+            })
+    return {
+        "ok": not regressions,
+        "tolerance_pct": round(tolerance * 100, 1),
+        "best": {k: round(v, 1) for k, v in sorted(best.items())},
+        "regressions": regressions,
+    }
+
+
 def measure_sse2_baseline() -> tuple[float, str, float]:
     """(fps, provenance, live_fps) of the reference SSE2 path, single core.
     ``live_fps`` is the unfloored live measurement (0.0 if none ran) so the
@@ -321,8 +400,13 @@ def main() -> None:
         Bp = 32
 
         def time_pool(clip_p, n_frames, label):
+            # Parity gate DEPTH: 8 frames, not 2 (ADVICE_r4) — the mode's
+            # defining risk is divergence that only manifests in later
+            # carried pool state (cf. the unlocalized poolfast hardware
+            # failure), which a 2-frame gate could miss.  The opt=0 pass
+            # is one-time gate cost, outside the timed loop.
             p2 = Clip.from_numpy(
-                [np.asarray(pl)[:2] for pl in clip_p.planes], fmt
+                [np.asarray(pl)[:8] for pl in clip_p.planes], fmt
             )
             ref = sangnom2(p2, pool_compat=True, opt=0, **kwargs)
             got = sangnom2(p2, pool_compat=True, **kwargs)
@@ -359,7 +443,7 @@ def main() -> None:
         pool_carried_fps = time_pool(clip_pu, Bp, "1912x1080 4:2:0 unaligned")
         pool_parity_fail = pool_fps is None or pool_carried_fps is None
 
-    print(json.dumps({
+    result = {
         "metric": "1080p_bob_dh_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
@@ -381,7 +465,16 @@ def main() -> None:
         "backend": backend,
         "batch": B,
         "configs": configs,
-    }))
+    }
+    # --- regression gate vs committed history (VERDICT_r4 #3) --------------
+    gate = check_regression(result, load_bench_history(Path(__file__).parent))
+    result["regression"] = gate
+    if not gate["ok"]:
+        for r in gate["regressions"]:
+            log(f"REGRESSION: {r['metric']} {r['current']} fps is "
+                f"{r['drop_pct']}% below historical best {r['best']} fps "
+                f"(tolerance {gate['tolerance_pct']}%)")
+    print(json.dumps(result))
     if any(c["parity"] != "ok" for c in configs.values()) or pool_parity_fail:
         # same contract as the headline gate: a parity failure anywhere
         # fails the run (the JSON above still records which config),

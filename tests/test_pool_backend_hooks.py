@@ -6,6 +6,7 @@ for re-probing, so CI must keep them bit-exact against the default path or
 a future re-probe would measure a broken arm (the poolfast_ab_r03b lesson).
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -14,15 +15,29 @@ from sangnom_tpu.ops import pool_carry
 
 
 @pytest.fixture
-def _restore_flags():
+def _set_flags():
+    """Yields a setter that flips the pool backend hooks AND clears the jit
+    caches, so the flipped arm genuinely re-traces (the hooks are read at
+    trace time and are not part of the jit cache key — without the clear,
+    the second arm would silently reuse the first arm's compiled program
+    and the parity pin would be vacuous).  Teardown restores the defaults
+    and clears again so hook-traced programs don't leak into later tests."""
     flags = (pool_carry.POOL_FUSED, pool_carry.POOL_SPLIT3,
              pool_carry.POOL_FAST)
-    yield
+
+    def set_flags(fused=False, split3=False, fast=False):
+        pool_carry.POOL_FUSED = fused
+        pool_carry.POOL_SPLIT3 = split3
+        pool_carry.POOL_FAST = fast
+        jax.clear_caches()
+
+    yield set_flags
     (pool_carry.POOL_FUSED, pool_carry.POOL_SPLIT3,
      pool_carry.POOL_FAST) = flags
+    jax.clear_caches()
 
 
-def test_pool_fast_hook_matches_scan(rng, _restore_flags):
+def test_pool_fast_hook_matches_scan(rng, _set_flags):
     """The rejected frame-parallel fast path (POOL_FAST) stays parity-
     pinned in interpret mode on its engagement geometry (stride-aligned
     width, luma first, no caller pool0).  NOTE: this cannot prove Mosaic-
@@ -34,8 +49,7 @@ def test_pool_fast_hook_matches_scan(rng, _restore_flags):
               rng.integers(0, 256, (3, 8, 32)).astype(np.uint8)]
     clip = Clip.from_numpy(planes, fmt)
     want = sangnom2(clip, pool_compat=True, opt=0, order=1, dh=True)
-    pool_carry.POOL_FUSED = pool_carry.POOL_SPLIT3 = False
-    pool_carry.POOL_FAST = True
+    _set_flags(fast=True)
     assert pool_carry._frames_independent(64, 16, fmt, True, True)
     got = sangnom2(clip, pool_compat=True, opt=1, order=1, dh=True)
     for a, b in zip(got.planes, want.planes):
@@ -52,7 +66,7 @@ def test_pool_fast_hook_matches_scan(rng, _restore_flags):
         ("GRAYS", 64, 12, dict(order=0)),                      # float
     ],
 )
-def test_hook_backends_match_scan(rng, _restore_flags, hook, fmt_name, w, h,
+def test_hook_backends_match_scan(rng, _set_flags, hook, fmt_name, w, h,
                                   kw):
     fmt = get_format(fmt_name)
     planes = []
@@ -70,8 +84,7 @@ def test_hook_backends_match_scan(rng, _restore_flags, hook, fmt_name, w, h,
 
     want = sangnom2(clip, pool_compat=True, opt=0, **kw)
 
-    pool_carry.POOL_FUSED = hook == "fused"
-    pool_carry.POOL_SPLIT3 = hook == "split3"
+    _set_flags(fused=hook == "fused", split3=hook == "split3")
     got = sangnom2(clip, pool_compat=True, opt=1, **kw)
     for i, (a, b) in enumerate(zip(got.planes, want.planes)):
         np.testing.assert_array_equal(
