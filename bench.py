@@ -214,9 +214,16 @@ def _config_matrix(Clip, get_format, sangnom2, sync, rng, oracle_frame):
         # jit would trace the parity array and defeat the order=0 static
         # split — and eager outputs are fully materialized, so nothing can
         # be dead-code-eliminated) + one jitted light sync dispatch.
-        _ = float(sync(sangnom2(clip, opt=-1, **kw).planes))  # warm
+        # Warm = compile + one TRIAL-SHAPED throwaway round: the r04 run
+        # recorded cfg1/cfg2 ~36% low from a single-call warm (an
+        # in-process re-measure hit 10.7k/9.0k fps; the first post-warm
+        # rounds still ramped), the same first-window depression the
+        # headline sections already warm through.
+        _ = float(sync(sangnom2(clip, opt=-1, **kw).planes))
+        np.asarray(jnp.stack(
+            [sync(sangnom2(clip, opt=-1, **kw).planes) for _ in range(5)]))
         best = float("inf")
-        for _t in range(3):
+        for _t in range(4):
             t0 = time.perf_counter()
             acc = [sync(sangnom2(clip, opt=-1, **kw).planes)
                    for _ in range(5)]
