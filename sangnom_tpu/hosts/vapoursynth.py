@@ -1,4 +1,4 @@
-"""VapourSynth host adapter (VERDICT_r3 #8).
+"""VapourSynth host adapter (VERDICT_r3 #8; concurrency redesign r5).
 
 Exposes `SangNom2` / `SangNom` as VapourSynth filter callables — the same
 two functions the reference registers into its host
@@ -16,22 +16,46 @@ batches, the adapter processes frames in fixed windows of ``batch`` frames
 and caches the most recent windows: sequential playback hits the TPU once
 per window at full batch efficiency.
 
+THREADING MODEL (why this cannot exhaust the host worker pool):
+
+1. Every source frame a selector needs is a host-prefetched DEPENDENCY.
+   The node's ``clips`` list carries ``batch`` window-gather clips
+   (``std.SelectEvery`` over an end-padded source) whose frame ``n`` is
+   source frame ``(n // batch) * batch + j`` — so when the host invokes
+   the selector for frame ``n``, it has already fetched the ENTIRE window
+   of ``n`` through its own scheduler.  The selector never issues a
+   nested ``src.get_frame`` — the classic stateful-Python-filter deadlock
+   (every worker inside a selector waiting for a fetch that needs a free
+   worker) is structurally impossible, not merely unlikely.
+2. Concurrent requests that miss the cache dedupe through per-window
+   single-flight events.  The computing thread needs only the TPU (its
+   inputs were prefetched), so waiters always make progress; no lock is
+   held across the computation, and cache hits for other windows are
+   never blocked by an in-flight window.  A waiter that wakes to find its
+   window evicted recomputes from its OWN prefetched frames — it never
+   re-enters the host.
+3. ``pool_compat=True`` chains windows through the carried pool state in
+   clip order (byte-identical to whole-clip processing, exactly like the
+   CLI's --window streaming).  Sequential playback — the only access
+   pattern under which the mode's semantics are meaningful — advances the
+   chain using prefetched frames only, so points 1-2 apply unchanged.
+   Random access (a seek past or behind the chain) needs source windows
+   the host did not prefetch; those fetches run on the adapter's own
+   dedicated prefetch thread, NEVER on a VapourSynth worker, so they
+   require only that the host can serve one external request stream —
+   the same mechanism an output loop (e.g. vspipe's get_frame) uses.
+
+Host-side cost of the prefetch design: each source frame is requested
+``batch`` times by the graph (once per output frame of its window); the
+source node's frame cache makes the repeats cache hits.  Keep ``batch``
+moderate (the default 8 balances TPU batching against request fan-out).
+
 The module imports without VapourSynth installed (everything host-facing
 resolves lazily); `tests/test_vapoursynth_host.py` drives it against a
-mock implementing the exact host surface used here, and the same code path
-runs unchanged against a real `vapoursynth` module.
-
-THREADING NOTE: window batching means a selector may request OTHER source
-frames of its window (`src.get_frame`) — a nested request that needs a
-free VS worker thread.  The adapter never holds its cache lock across
-those fetches, but under heavily parallel frame requests a stateful
-Python filter can still exhaust the worker pool (every worker inside a
-selector waiting on the same window).  If the host hangs, serialize
-requests on this node (e.g. ``vspipe -r 1`` or ``core.num_threads = 1``)
-or set ``batch=1`` (no cross-frame requests at all; TPU batching is then
-per-frame).  ``pool_compat=True`` chains windows through the carried pool
-state in clip order (byte-identical to whole-clip processing); random
-access behind the chain restarts it from frame 0.
+mock implementing the exact host surface used here — including a
+multithreaded stress harness with out-of-order parallel requests and a
+nested-fetch detector — and the same code path runs unchanged against a
+real `vapoursynth` module.
 
 Usage (inside a .vpy script):
 
@@ -45,6 +69,7 @@ Usage (inside a .vpy script):
 from __future__ import annotations
 
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 import numpy as np
@@ -122,22 +147,43 @@ def _frame_parity(frame, n: int, tff: bool) -> bool:
     return tff
 
 
+def _window_dep_clips(core, src, batch: int) -> list:
+    """``batch`` window-gather dependency clips: clip ``j``'s frame ``n``
+    is source frame ``(n // batch) * batch + j`` (end-padded with the last
+    frame so the trailing partial window still gathers).  Listing these in
+    ``clips`` makes the host prefetch every source frame of ``n``'s window
+    before the selector runs — the core of the no-nested-fetch design."""
+    if batch == 1:
+        return [src]
+    n = src.num_frames
+    pad = (-n) % batch
+    padded = src
+    if pad:
+        last = core.std.Trim(src, first=n - 1, last=n - 1)
+        padded = core.std.Splice(clips=[src, core.std.Loop(last, pad)])
+    return [
+        core.std.SelectEvery(padded, cycle=batch, offsets=[j] * batch)
+        for j in range(batch)
+    ]
+
+
 class _WindowRunner:
     """Batches frame requests into TPU-sized windows with a tiny cache.
 
-    Thread-safe for the VS frame server's parallel requests: the cache
-    lock is never held across source-frame fetches (`fetch_frame` runs the
-    host's own `get_frame`, which needs a free worker thread — holding a
-    lock around it is the classic stateful-Python-filter deadlock, see the
-    module docstring's threading note), and ``pool_compat`` windows chain
-    through the carried pool state IN ORDER under a dedicated chain lock —
-    output is byte-identical to whole-clip processing, exactly like the
-    CLI's --window streaming (`sangnom2_pool_stream`).
+    Thread-safe for the VS frame server's parallel requests under the
+    module-docstring threading model: ``get`` receives the request's
+    whole source window HOST-PREFETCHED (so it never fetches), concurrent
+    missers of one window dedupe through single-flight events, and no
+    lock is held across TPU computation.  ``pool_compat`` windows chain
+    through the carried pool state in clip order under ``_chain``;
+    random-access gap/restart fetches run on the runner's dedicated
+    prefetch thread via ``host_fetch`` — never on a VS worker.
     """
 
-    def __init__(self, src, fmt_name: str, params: dict, tff: bool,
-                 batch: int, cache_windows: int = 2):
-        self.src = src
+    def __init__(self, num_frames: int, fmt_name: str, params: dict,
+                 tff: bool, batch: int, host_fetch=None,
+                 cache_windows: int = 2):
+        self.num_frames = num_frames
         self.fmt = get_format(fmt_name)
         self.params = params
         self.tff = tff
@@ -145,12 +191,15 @@ class _WindowRunner:
         self.cache_windows = max(1, cache_windows)
         self.legacy = bool(params.get("_legacy", False))
         self.pool_compat = bool(params.get("pool_compat", False))
+        self._host_fetch = host_fetch  # k -> frame dict, host-served
         self._cache: dict[int, list[np.ndarray]] = {}  # window start -> planes
         self._order: list[int] = []
         self._lock = threading.Lock()
+        self._inflight: dict[int, threading.Event] = {}
         self._chain = threading.Lock()  # pool_compat: windows run in order
         self._pool_state = None
         self._pool_next = 0  # next window start the pool chain will compute
+        self._prefetcher = None  # lazy: only random access in pool mode
 
     def _to_clip(self, frames):
         planes = [
@@ -189,11 +238,9 @@ class _WindowRunner:
             out = fn(clip, **params)
         return [np.asarray(p) for p in out.planes]
 
-    def _fetch(self, start: int, fetch_frame) -> list:
-        end = min(start + self.batch, self.src.num_frames)
-        return [fetch_frame(k) for k in range(start, end)]
-
     def _store(self, start: int, outs) -> None:
+        if start in self._cache:
+            return
         self._cache[start] = outs
         self._order.append(start)
         while len(self._order) > self.cache_windows:
@@ -202,40 +249,90 @@ class _WindowRunner:
     def _slice(self, start: int, n: int) -> list[np.ndarray]:
         return [p[n - start] for p in self._cache[start]]
 
-    def get(self, n: int, fetch_frame) -> list[np.ndarray]:
-        """Output planes of frame ``n`` ([h, w] numpy per plane);
-        ``fetch_frame(k)`` returns {"planes": [...], "parity": bool} for
-        source frame k."""
+    def _fetch_off_worker(self, start: int) -> list:
+        """Source frames of the window at ``start``, fetched through the
+        host on the runner's OWN prefetch thread (pool-mode random access
+        only — the one path whose inputs the host did not prefetch).
+        Submitting from a VS worker and blocking on the future is safe:
+        the fetch itself consumes no worker, exactly like an external
+        output loop's get_frame."""
+        if self._host_fetch is None:
+            raise SangNomError(
+                "SangNom2: pool_compat random access needs a host fetch "
+                "path (internal error: adapter wired without one).")
+        if self._prefetcher is None:
+            self._prefetcher = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="sangnom-prefetch")
+        end = min(start + self.batch, self.num_frames)
+
+        def fetch_range():
+            return [self._host_fetch(k) for k in range(start, end)]
+
+        return self._prefetcher.submit(fetch_range).result()
+
+    def get(self, n: int, window_frames: list) -> list[np.ndarray]:
+        """Output planes of frame ``n`` ([h, w] numpy per plane).
+        ``window_frames`` holds {"planes": [...], "parity": bool} for
+        EVERY source frame of ``n``'s window, in order — host-prefetched
+        by the selector's dependency clips."""
         start = (n // self.batch) * self.batch
+        if self.pool_compat:
+            return self._get_pool(n, start, window_frames)
+        return self._get_plain(n, start, window_frames)
+
+    def _get_plain(self, n: int, start: int, window_frames: list):
         with self._lock:
             if start in self._cache:
                 return self._slice(start, n)
-
-        if not self.pool_compat:
-            frames = self._fetch(start, fetch_frame)  # no lock held
+            ev = self._inflight.get(start)
+            if ev is None:
+                ev = self._inflight[start] = threading.Event()
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            # the owner depends only on the TPU, never on the host —
+            # waiting here cannot deadlock the worker pool
+            ev.wait()
             with self._lock:
-                if start not in self._cache:
-                    self._store(start, self._run_window(frames))
-                return self._slice(start, n)
+                if start in self._cache:
+                    return self._slice(start, n)
+            # evicted between set() and our wake: recompute from our own
+            # prefetched frames (never re-enter the host)
+            outs = self._run_window(window_frames)
+            return [p[n - start] for p in outs]
+        try:
+            outs = self._run_window(window_frames)  # no lock held
+            with self._lock:
+                self._store(start, outs)
+        finally:
+            with self._lock:
+                self._inflight.pop(start, None)
+                ev.set()  # waiters recompute if the store above failed
+        return [p[n - start] for p in outs]
 
-        # pool_compat: compute every window up to `start` in clip order,
-        # threading the pool state.  A request behind the chain (and out
-        # of cache) restarts it from frame 0 — correct for random access,
-        # efficient for the sequential playback the mode is meant for.
+    def _get_pool(self, n: int, start: int, window_frames: list):
+        with self._lock:
+            if start in self._cache:
+                return self._slice(start, n)
+        # Windows run strictly in clip order under _chain.  Sequential
+        # playback always lands in the `gap == empty` case and consumes
+        # only prefetched frames; seeks use the off-worker prefetcher.
         with self._chain:
             with self._lock:
                 if start in self._cache:
                     return self._slice(start, n)
-                if start < self._pool_next:
-                    self._pool_state, self._pool_next = None, 0
+            if start < self._pool_next:
+                # behind the chain and out of cache: deterministic restart
+                self._pool_state, self._pool_next = None, 0
             s = self._pool_next
             while s <= start:
-                frames = self._fetch(s, fetch_frame)  # no cache lock held
-                outs = self._run_window(frames)
+                frames = (window_frames if s == start
+                          else self._fetch_off_worker(s))
+                outs = self._run_window(frames)  # threads _pool_state
                 with self._lock:
                     self._store(s, outs)
-                    self._pool_next = s + self.batch
-                s += self.batch
+                self._pool_next = s = s + self.batch
             with self._lock:
                 return self._slice(start, n)
 
@@ -247,10 +344,20 @@ def _wrap(src, params: dict, batch: int, tff: bool | None, legacy: bool):
     fmt = get_format(fmt_name)
     dh = bool(params.get("dh", False)) and not legacy
     out_h = src.height * 2 if dh else src.height
+    batch = max(1, batch)
+    tff_default = True if tff is None else tff
+
+    def host_fetch(k):
+        # pool-mode random access only; runs on the runner's own thread
+        fr = src.get_frame(k)
+        return {
+            "planes": _frame_planes(fr, fmt.num_planes),
+            "parity": _frame_parity(fr, k, tff_default),
+        }
 
     runner = _WindowRunner(
-        src, fmt_name, dict(params, _legacy=legacy),
-        tff=(True if tff is None else tff), batch=batch,
+        src.num_frames, fmt_name, dict(params, _legacy=legacy),
+        tff=tff_default, batch=batch, host_fetch=host_fetch,
     )
 
     # OUTPUT-geometry carrier clip: ModifyFrame requires the selector's
@@ -260,20 +367,25 @@ def _wrap(src, params: dict, batch: int, tff: bool | None, legacy: bool):
     blank = core.std.BlankClip(
         clip=src, width=src.width, height=out_h, length=src.num_frames
     )
+    win_clips = _window_dep_clips(core, src, batch)
 
     def selector(n, f):
-        # f: [blank frame, source frame n] per the clips list below
+        # f: [blank frame, window frame 0, ..., window frame batch-1] per
+        # the clips list below — the host prefetched n's ENTIRE source
+        # window, so no nested get_frame ever runs on this worker
         fout = f[0].copy()
-        src_frame = f[1]
-
-        def fetch(k):
-            fr = src_frame if k == n else src.get_frame(k)
-            return {
-                "planes": _frame_planes(fr, fmt.num_planes),
-                "parity": _frame_parity(fr, k, runner.tff),
+        start = (n // batch) * batch
+        end = min(start + batch, src.num_frames)
+        window_frames = [
+            {
+                "planes": _frame_planes(f[1 + j], fmt.num_planes),
+                "parity": _frame_parity(f[1 + j], start + j, runner.tff),
             }
+            for j in range(end - start)
+        ]
+        src_frame = f[1 + (n - start)]
 
-        outs = runner.get(n, fetch)
+        outs = runner.get(n, window_frames)
         for i, plane in enumerate(outs):
             np.asarray(fout[i])[...] = plane
         # propagate the SOURCE frame's props (colorimetry, range,
@@ -291,7 +403,7 @@ def _wrap(src, params: dict, batch: int, tff: bool | None, legacy: bool):
                 pass
         return fout
 
-    return core.std.ModifyFrame(clip=blank, clips=[blank, src],
+    return core.std.ModifyFrame(clip=blank, clips=[blank] + win_clips,
                                 selector=selector)
 
 
