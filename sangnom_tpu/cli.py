@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 from sangnom_tpu import __version__, sangnom, sangnom2
 from sangnom_tpu.io import iter_y4m, read_y4m, write_y4m, write_y4m_frames
 
@@ -79,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", default=None,
                    help="output framerate N:D (default: input stream's, "
                    "doubled under --bob)")
+    p.add_argument("--aot", default=None, metavar="DIR",
+                   help="directory of prewarmed jax.export program "
+                   "artifacts (see the 'prewarm' verb): matching "
+                   "dispatches skip trace+compile entirely, so a fresh "
+                   "process reaches first output in ~1 s even on a "
+                   "geometry the compile cache has never seen. Misses "
+                   "fall back to the normal jit path (same bits either "
+                   "way).")
     p.add_argument("--cache-dir", default=None,
                    help="persistent XLA compilation cache directory: "
                    "repeat invocations skip the first-call compile "
@@ -104,7 +114,44 @@ def _default_cache_dir(backend: str) -> str | None:
     return os.path.join(base, "sangnom-tpu", "xla")
 
 
+def _setup_compile_cache(cache_dir_arg: str | None) -> None:
+    """Resolve and install the persistent XLA compile cache (shared by the
+    main CLI and the prewarm verb, so both populate/consume one cache).
+
+    Default ON on TPU (round 4, VERDICT_r3 #6): a one-shot CLI pays the
+    full compile every run without it (measured 108 s cold -> ~2.5 s warm,
+    results/cli_overlap_cache_verify_r04.txt) — persistent caching is the
+    resident-host analogue.  Off-TPU compiles are cheap and XLA's CPU AOT
+    loader logs an ERROR-level line on every cache load, so the DEFAULT
+    stays TPU-only (explicit --cache-dir / $SANGNOM_TPU_CACHE_DIR work
+    anywhere)."""
+    cache_dir = cache_dir_arg
+    if cache_dir is None:
+        cache_dir = os.environ.get("SANGNOM_TPU_CACHE_DIR")
+    if cache_dir is None:
+        import jax
+
+        cache_dir = _default_cache_dir(jax.default_backend())
+    if cache_dir:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+        except OSError as e:
+            print(f"warning: compile cache disabled ({e})", file=sys.stderr)
+            cache_dir = None
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every program: the filter dispatches a handful of jits and
+        # even the small ones pay trace+compile on a cold process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "prewarm":
+        return _prewarm_main(argv[1:])
     if os.environ.get("JAX_PLATFORMS"):
         # honor the user's platform choice even where a site plugin (e.g.
         # the axon TPU tunnel) force-overrides the jax config at import
@@ -113,34 +160,11 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     args = build_parser().parse_args(argv)
-    cache_dir = args.cache_dir
-    if cache_dir is None:
-        cache_dir = os.environ.get("SANGNOM_TPU_CACHE_DIR")
-    if cache_dir is None:
-        import jax
+    _setup_compile_cache(args.cache_dir)
+    if args.aot:
+        from sangnom_tpu import aot
 
-        # default ON on TPU (round 4, VERDICT_r3 #6): a one-shot CLI pays
-        # the full compile every run without it (measured 108 s cold ->
-        # ~2.5 s warm, results/cli_overlap_cache_verify_r04.txt) —
-        # persistent caching is the resident-host analogue.  Off-TPU
-        # compiles are cheap and XLA's CPU AOT loader logs an ERROR-level
-        # line on every cache load, so the DEFAULT stays TPU-only
-        # (explicit --cache-dir / $SANGNOM_TPU_CACHE_DIR work anywhere).
-        cache_dir = _default_cache_dir(jax.default_backend())
-    if cache_dir:
-        import jax
-
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-        except OSError as e:
-            print(f"warning: compile cache disabled ({e})", file=sys.stderr)
-            cache_dir = None
-    if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache every program: the filter dispatches a handful of jits and
-        # even the small ones pay trace+compile on a cold process
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        aot.configure(args.aot)
     src = sys.stdin.buffer if args.input == "-" else args.input
     dst = sys.stdout.buffer if args.output == "-" else args.output
 
@@ -190,6 +214,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     dt = time.perf_counter() - t0
+    _aot_note(args)
     print(
         f"{clip.num_frames} frames {clip.width}x{clip.height} -> "
         f"{out.width}x{out.height} in {dt:.2f}s "
@@ -197,6 +222,16 @@ def main(argv: list[str] | None = None) -> int:
         file=sys.stderr,
     )
     return 0
+
+
+def _aot_note(args) -> None:
+    if not getattr(args, "aot", None):
+        return
+    from sangnom_tpu import aot
+
+    h, m = aot.STATS["hits"], aot.STATS["misses"]
+    print(f"aot: {h} dispatch(es) served from artifacts, {m} miss(es)",
+          file=sys.stderr)
 
 
 def _out_interlace(args, num_planes: int, props: dict) -> str:
@@ -457,11 +492,146 @@ def _run_windowed(src, dst, args, fps, t0) -> int:
         if state["close"] and state["fh"] is not None:
             state["fh"].close()
     dt = time.perf_counter() - t0
+    _aot_note(args)
     w_, h_ = state["shape"]
     print(
         f"{state['in']} frames -> {state['out']} frames {w_}x{h_} in "
         f"{dt:.2f}s ({state['in'] / dt:.1f} fps end-to-end, "
         f"window={args.window})",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _prewarm_main(argv: list[str]) -> int:
+    """``sangnom-tpu prewarm``: export serialized compiled programs for a
+    (format, geometry, params) combo so later CLI runs with ``--aot DIR``
+    start in ~1 s — the analogue of the reference's AOT-.so zero-warmup
+    property (precompiled path selected at construction, reference
+    src/SangNom2.cpp:312-329)."""
+    p = argparse.ArgumentParser(
+        prog="sangnom-tpu prewarm",
+        description="Export AOT program artifacts (jax.export) for a "
+        "format/geometry/parameter combo. Run with the SAME filter flags "
+        "you will pass to the main CLI, plus the clip geometry; then give "
+        "the main CLI --aot DIR.",
+    )
+    p.add_argument("--aot", required=True, metavar="DIR",
+                   help="artifact directory (created if missing)")
+    p.add_argument("--format", required=True, dest="fmt",
+                   help="video format name, e.g. YUV420P8, GRAY16, YUV444PS")
+    p.add_argument("--size", required=True, metavar="WxH",
+                   help="input frame geometry, e.g. 1920x1080")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--window", type=int,
+                   help="frames per program for windowed runs (--window N "
+                   "on the main CLI; --bob additionally exports the N+1 "
+                   "lookahead feed). The trailing partial window of a clip "
+                   "whose length is not a multiple falls back to jit.")
+    g.add_argument("--frames", type=int,
+                   help="frames per program for whole-clip runs (the exact "
+                   "clip length)")
+    p.add_argument("--order", type=int, default=1)
+    p.add_argument("--aa", type=int, default=48)
+    p.add_argument("--aac", type=int, default=0)
+    p.add_argument("--dh", action="store_true")
+    p.add_argument("--no-luma", dest="luma", action="store_false")
+    p.add_argument("--no-chroma", dest="chroma", action="store_false")
+    p.add_argument("--opt", type=int, default=-1)
+    p.add_argument("--numerics", choices=("c", "sse2"), default="c")
+    p.add_argument("--legacy", action="store_true")
+    p.add_argument("--bob", action="store_true")
+    p.add_argument("--tff", dest="tff", action="store_true", default=True,
+                   help="field dominance baked into --bob programs "
+                   "(default tff; must match the stream/flags at run time)")
+    p.add_argument("--bff", dest="tff", action="store_false")
+    p.add_argument("--cache-dir", default=None,
+                   help="persistent XLA compile cache to warm alongside "
+                   "the artifacts (same default as the main CLI); the "
+                   "exported program is called once on zeros so a later "
+                   "--aot run skips BOTH trace+lower and backend compile")
+    p.add_argument("--no-warm-call", dest="warm_call", action="store_false",
+                   help="export artifacts only; skip the compile-cache "
+                   "warming call")
+    args = p.parse_args(argv)
+    _setup_compile_cache(args.cache_dir)
+
+    from sangnom_tpu import aot
+    from sangnom_tpu.api import (_LEGACY_ORDER_REMAP, SangNomError,
+                                 _validate, _validate_numerics)
+    from sangnom_tpu.core.formats import get_format
+
+    t0 = time.perf_counter()
+    try:
+        if args.legacy and args.bob:
+            raise ValueError("--legacy cannot be combined with --bob")
+        try:
+            w, h = (int(x) for x in args.size.lower().split("x"))
+        except ValueError:
+            raise ValueError(f"invalid --size {args.size!r} (want WxH)")
+        fmt = get_format(args.fmt)
+        _validate("SangNom2", None, args.order, args.aa, args.aac, args.opt)
+        _validate_numerics("SangNom2", args.numerics)
+        if h % 2:
+            raise SangNomError("SangNom2: height must be even.")
+        if fmt.is_420 and h % 4:
+            raise SangNomError("SangNom2: height must be mod4.")
+
+        def shapes(n):
+            return tuple(
+                ((n,) + tuple(reversed(fmt.plane_dims(w, h, i))),
+                 str(np.dtype(fmt.dtype)))
+                for i in range(fmt.num_planes)
+            )
+
+        jobs = []  # (kind, n_frames, statics)
+        n0 = args.window if args.window is not None else args.frames
+        if n0 <= 0:
+            raise ValueError("--window/--frames must be positive")
+        if args.bob:
+            statics = aot.bob_statics(args.aa, args.aac, args.tff,
+                                      args.opt, args.numerics)
+            jobs.append(("bob", n0, statics))
+            if args.window is not None:
+                # windowed bob feeds window+1 frames (1-frame lookahead)
+                jobs.append(("bob", n0 + 1, statics))
+        else:
+            order = args.order
+            if args.legacy:
+                # the legacy surface: order remap, fixed aac/dh/luma/chroma
+                order = _LEGACY_ORDER_REMAP[order] if order != 1 else 1
+                statics = aot.filter_statics(order, args.aa, 0, False,
+                                             True, True, args.opt,
+                                             args.numerics)
+            else:
+                statics = aot.filter_statics(order, args.aa, args.aac,
+                                             args.dh, args.luma,
+                                             args.chroma, args.opt,
+                                             args.numerics)
+            jobs.append(("filter", n0, statics))
+
+        for kind, n, statics in jobs:
+            tj = time.perf_counter()
+            path = aot.save_program(args.aot, kind, fmt, shapes(n), statics)
+            dt_export = time.perf_counter() - tj
+            note = ""
+            if args.warm_call:
+                # land the .call path's backend executable in the compile
+                # cache: a later --aot run then skips trace+lower (the
+                # artifact) AND backend compile (the cache) — measured
+                # 1.07 s to first output at 1080p vs 3.1-3.5 s cold
+                note = f", warm-called {aot.warm_call(path):.1f}s"
+            print(
+                f"  {path.name}: {path.stat().st_size / 1e6:.2f} MB "
+                f"({kind}, {n} frames, export {dt_export:.1f}s{note})",
+                file=sys.stderr,
+            )
+    except (SangNomError, ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(
+        f"prewarmed {len(jobs)} program(s) for {args.fmt} {w}x{h} into "
+        f"{args.aot} in {time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
     )
     return 0

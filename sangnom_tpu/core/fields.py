@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sangnom_tpu import aot
 from sangnom_tpu.core.clip import Clip
 
 
@@ -149,9 +150,17 @@ def bob(clip: Clip, aa: int = 48, aac: int = 0, luma: bool = True,
         # per-frame parity alternation is a compile-time constant here
         _validate("SangNom2", clip, 0, aa, aac, opt)
         _validate_numerics("SangNom2", numerics)
-        planes = _bob_jit(
-            clip.planes, clip.format, aa, aac, tff_r, opt, numerics
-        )
+        planes = None
+        if aot.is_configured():
+            call = aot.lookup(
+                "bob", clip.format.name, aot.plane_shapes(clip.planes),
+                aot.bob_statics(aa, aac, tff_r, opt, numerics))
+            if call is not None:
+                planes = call(tuple(clip.planes))
+        if planes is None:
+            planes = _bob_jit(
+                clip.planes, clip.format, aa, aac, tff_r, opt, numerics
+            )
         return Clip(
             list(planes), clip.format,
             parity=np.tile(np.array([tff_r, not tff_r]), clip.num_frames),
@@ -164,16 +173,16 @@ def bob(clip: Clip, aa: int = 48, aac: int = 0, luma: bool = True,
                     numerics=numerics)
 
 
-@partial(jax.jit, static_argnames=("fmt", "aa", "aac", "tff", "opt",
-                                   "numerics"))
-def _bob_jit(planes, fmt, aa: int, aac: int, tff: bool, opt: int,
+def bob_impl(planes, fmt, aa: int, aac: int, tff: bool, opt: int,
              numerics: str):
-    """SeparateFields -> order=0 dh filter in one jit program.  The
+    """SeparateFields -> order=0 dh filter as one traceable program.  The
     alternating parity is baked in as a constant, so the per-frame-offset
     in-kernel weave sees it as plain operand data; the planes stay
     INTERLACED into the impl (``interlaced_tff``), letting the Pallas
     weave path absorb the field split into its chunk relayout (a
-    materialized split measured ~11% of true bob at 1080p)."""
+    materialized split measured ~11% of true bob at 1080p).  Shared by
+    the jit wrapper below and the AOT export (sangnom_tpu.aot), so the
+    exported artifact IS the jit program."""
     from sangnom_tpu.ops.sangnom import sangnom2_impl
 
     n2 = 2 * planes[0].shape[0]
@@ -183,3 +192,10 @@ def _bob_jit(planes, fmt, aa: int, aac: int, tff: bool, opt: int,
         luma=True, chroma=True, opt=opt, numerics=numerics,
         interlaced_tff=tff,
     )
+
+
+@partial(jax.jit, static_argnames=("fmt", "aa", "aac", "tff", "opt",
+                                   "numerics"))
+def _bob_jit(planes, fmt, aa: int, aac: int, tff: bool, opt: int,
+             numerics: str):
+    return bob_impl(planes, fmt, aa, aac, tff, opt, numerics)

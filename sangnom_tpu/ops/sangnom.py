@@ -364,16 +364,40 @@ def sangnom2_op(
             clip.planes, parity, clip.format, order, aa, aac, dh, luma,
             chroma, numerics, opt,
         )
-    elif order == 0:
-        planes = _order0_static_split(
-            clip, parity, aa, aac, dh, luma, chroma, opt, numerics
-        )
     else:
-        planes = _sangnom2_jit(
-            clip.planes, parity, clip.format, order, aa, aac, dh, luma,
-            chroma, opt, numerics,
-        )
+        planes = _maybe_aot(clip, parity, order, aa, aac, dh, luma, chroma,
+                            opt, numerics)
+        if planes is None and order == 0:
+            planes = _order0_static_split(
+                clip, parity, aa, aac, dh, luma, chroma, opt, numerics
+            )
+        elif planes is None:
+            planes = _sangnom2_jit(
+                clip.planes, parity, clip.format, order, aa, aac, dh, luma,
+                chroma, opt, numerics,
+            )
     return clip.with_planes(planes)
+
+
+def _maybe_aot(clip, parity, order, aa, aac, dh, luma, chroma, opt,
+               numerics):
+    """Serve this dispatch from a prewarmed jax.export artifact if one is
+    configured and matches (sangnom_tpu.aot) — same program body as the
+    jit path, so the output bits are identical; order=0 runs the
+    traced-parity program (bit-identical to the eager static split by the
+    backend contract).  Returns None on any miss."""
+    from sangnom_tpu import aot
+
+    if not aot.is_configured():
+        return None
+    call = aot.lookup(
+        "filter", clip.format.name, aot.plane_shapes(clip.planes),
+        aot.filter_statics(order, aa, aac, dh, luma, chroma, opt, numerics))
+    if call is None:
+        return None
+    if parity is None:  # non-addressable parity (tracer): keep jit path
+        return None
+    return call(tuple(clip.planes), jnp.asarray(parity))
 
 
 def _host_parity(clip: Clip):
