@@ -169,6 +169,7 @@ def sangnom2_sharded(
     space_axis: Optional[str] = None,
     smooth: Optional[str] = None,
     numerics: str = "c",
+    pool_compat: bool = False,
 ) -> Clip:
     """SangNom2 over a device mesh.
 
@@ -180,12 +181,26 @@ def sangnom2_sharded(
     ``numerics`` selects the reference numerics contract exactly as on the
     single-device surface ("c" | "sse2"); every sharded backend honors it
     through the shared primitives.
+
+    ``pool_compat`` is NOT supported under sharding and raises: the pool
+    is cross-frame state (frames must run sequentially, so the data axis
+    is meaningless there), and width-sharding the sequential pool scan is
+    rejected on value — full analysis in docs/MULTICHIP.md
+    ("pool_compat × sharding").  Use the single-device surface
+    (``sangnom2(pool_compat=True)``) for the emulation mode.
     """
-    from sangnom_tpu.api import _validate, _validate_numerics  # surface parity
+    from sangnom_tpu.api import (SangNomError, _validate,  # surface parity
+                                 _validate_numerics)
     from sangnom_tpu.core.geometry import buffer_stride_elems
 
     _validate("SangNom2", clip, order, aa, aac, opt)
     _validate_numerics("SangNom2", numerics)
+    if pool_compat:
+        raise SangNomError(
+            "SangNom2: pool_compat is not supported under sharding (the "
+            "pool is sequential cross-frame state; see docs/MULTICHIP.md) "
+            "— use the single-device sangnom2(pool_compat=True)."
+        )
     del threads
 
     n_data = mesh.shape[data_axis]

@@ -461,3 +461,16 @@ def test_sharded_halo_exchange_count_invariants(rng, monkeypatch):
             f"({short} -> {tall}); exchanges must ride the scan"
         )
     jax.clear_caches()  # drop programs traced with the patched batch cap
+
+
+def test_pool_compat_sharded_rejected(rng):
+    """pool_compat x sharding is an EXPLICIT fail-fast rejection, not a
+    silent hole (VERDICT_r4 #4; analysis in docs/MULTICHIP.md) — the pool
+    is sequential cross-frame state."""
+    from sangnom_tpu.api import SangNomError
+
+    clip = _clip(rng, "YUV420P8", 32, 16, n=4)
+    mesh = default_mesh(data=4, space=2)
+    with pytest.raises(SangNomError, match="pool_compat is not supported "
+                       "under sharding"):
+        sangnom2_sharded(clip, mesh, order=1, pool_compat=True)
