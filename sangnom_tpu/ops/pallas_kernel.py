@@ -225,7 +225,7 @@ _FLOAT_HBOX_ROLLED = False
 # _FLOAT_HBOX_ROLLED) and the fp association unchanged operation-for-
 # operation.  The float kernel runs 9 unpacked slabs, so this cuts ~1/6
 # of the dominant-stage rolls on the roll-bound kernel.  Default ON:
-# the hardware interleaved A/B (tools/ab_floatpair.py, 8 rotating-order
+# the hardware interleaved A/B (tools/archive/ab_floatpair.py, 8 rotating-order
 # trials at cfg5f with the float weave on) measured +7.9% bit-identical
 # (results/floatpair_ab_r03.txt).  The -4.6% _FLOAT_HBOX_ROLLED
 # rejection was the cautionary tale for "obviously fewer ops" float

@@ -188,7 +188,7 @@ def _pool_fused_kernel(kept_ref, b0_ref, b1_ref, row0_ref, tail_ref,
       sm_b     = hbox7_clamped_at_S(sm_{b-1} + row_b + row_{b+1}) / 16
       out[b-1] = finalize(pair (b-1, b) carry, sm_b)     [rows <= R real]
     The kept plane rides WHOLE in VMEM (accumulator dtype — Mosaic lowers
-    dynamic sublane indexing for i32, not u8: tools/probe_pool_dynrow.py)
+    dynamic sublane indexing for i32, not u8: tools/archive/probe_pool_dynrow.py)
     and rows are read with clamped dynamic indices; the smoothed rows
     stream out as the NEXT carry body directly.  Bit-exact to the split
     path by construction: identical primitives, association and clamp

@@ -274,7 +274,7 @@ def _step_chain(kind: str, k: int, a_ref, b_ref, b2_ref,
     on a [5, G, W] slab stack — 3-D like the kernel's own [9, B, S_pad]
     stacks, single live chain.  (Both a 2-D [5G, W] spelling AND a
     two-register Fibonacci swap on the 3-D stack crash or pathologically
-    slow the Mosaic backend — tools/isolate_step.py: bigslab/slab3d;
+    slow the Mosaic backend — tools/archive/isolate_step.py: bigslab/slab3d;
     one swap-chain roll on [5,120,2048] took 143 s to compile.  The
     real kernel's single-live-chain tree form compiles in seconds.)
 
