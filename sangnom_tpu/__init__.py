@@ -17,7 +17,7 @@ Plus the core containers: `Clip`, `VideoFormat`, the format registry in
 `sangnom_tpu.core.formats`, and the parallel layer in `sangnom_tpu.parallel`.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 # Version of the reference plugin whose capability surface this framework
 # replicates (reference src/SangNom2.rc:4-5, CHANGELOG.md:1).
