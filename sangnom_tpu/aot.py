@@ -149,13 +149,21 @@ def export_program(kind: str, fmt, shapes, statics: dict) -> bytes:
 
 def save_program(aot_dir, kind: str, fmt, shapes, statics: dict) -> Path:
     """Export and write one program artifact; returns its path."""
+    import tempfile
+
     aot_dir = Path(aot_dir)
     aot_dir.mkdir(parents=True, exist_ok=True)
     blob = export_program(kind, fmt, shapes, statics)
     path = aot_dir / f"{program_key(kind, fmt.name, shapes, statics)}.jaxexport"
-    tmp = path.with_suffix(".tmp")
-    tmp.write_bytes(blob)
-    tmp.replace(path)  # atomic: a concurrent reader never sees a torn file
+    # unique temp per writer + atomic rename: concurrent readers never see
+    # a torn file, and concurrent PREWARMS of the same combo never share a
+    # temp path (last rename wins with a complete artifact either way)
+    fd, tmp = tempfile.mkstemp(dir=aot_dir, suffix=".tmp")
+    try:
+        os.write(fd, blob)
+    finally:
+        os.close(fd)
+    os.replace(tmp, path)
     return path
 
 
@@ -181,8 +189,13 @@ def warm_call(path) -> float:
 def lookup(kind: str, fmt_name: str, shapes, statics: dict):
     """The deserialized program's ``call`` for this dispatch, or None.
     Cheap when unconfigured (one attribute check); artifacts deserialize
-    once per process and negative results are cached too."""
-    if _AOT_DIR is None:
+    once per process and negative results are cached too.  The global
+    lock guards only the dict — the cold read+deserialize runs OUTSIDE
+    it so concurrent dispatches with already-cached keys never stall
+    behind one slow load (a duplicate deserialize on a cold race is
+    harmless: both produce the same program, last store wins)."""
+    aot_dir = _AOT_DIR  # snapshot: configure(None) must not race a
+    if aot_dir is None:  # dispatch into `None / key` (TypeError)
         return None
     key = program_key(kind, fmt_name, shapes, statics)
     with _LOCK:
@@ -190,19 +203,20 @@ def lookup(kind: str, fmt_name: str, shapes, statics: dict):
             exp = _CACHE[key]
             STATS["hits" if exp is not None else "misses"] += 1
             return None if exp is None else exp.call
-        path = _AOT_DIR / f"{key}.jaxexport"
-        exp = None
-        if path.exists():
-            try:
-                from jax import export as jexport
+    path = aot_dir / f"{key}.jaxexport"
+    exp = None
+    if path.exists():
+        try:
+            from jax import export as jexport
 
-                exp = jexport.deserialize(path.read_bytes())
-            except Exception as e:  # stale/incompatible artifact -> miss
-                import sys
+            exp = jexport.deserialize(path.read_bytes())
+        except Exception as e:  # stale/incompatible artifact -> miss
+            import sys
 
-                print(f"warning: AOT artifact {path.name} unusable ({e}); "
-                      f"falling back to jit", file=sys.stderr)
-                exp = None
+            print(f"warning: AOT artifact {path.name} unusable ({e}); "
+                  f"falling back to jit", file=sys.stderr)
+            exp = None
+    with _LOCK:
         _CACHE[key] = exp
         STATS["hits" if exp is not None else "misses"] += 1
-        return None if exp is None else exp.call
+    return None if exp is None else exp.call

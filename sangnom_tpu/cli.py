@@ -148,16 +148,24 @@ def _setup_compile_cache(cache_dir_arg: str | None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def main(argv: list[str] | None = None) -> int:
-    argv = sys.argv[1:] if argv is None else argv
-    if argv and argv[0] == "prewarm":
-        return _prewarm_main(argv[1:])
+def _honor_jax_platforms() -> None:
+    """Honor the user's platform choice even where a site plugin (e.g.
+    the axon TPU tunnel) force-overrides the jax config at import.  Both
+    the main CLI and the prewarm verb must apply this BEFORE any backend
+    use — AOT artifacts are keyed to the backend platform, so a prewarm
+    that ignored JAX_PLATFORMS would export artifacts every honoring run
+    silently misses."""
     if os.environ.get("JAX_PLATFORMS"):
-        # honor the user's platform choice even where a site plugin (e.g.
-        # the axon TPU tunnel) force-overrides the jax config at import
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    _honor_jax_platforms()
+    if argv and argv[0] == "prewarm":
+        return _prewarm_main(argv[1:])
 
     args = build_parser().parse_args(argv)
     _setup_compile_cache(args.cache_dir)

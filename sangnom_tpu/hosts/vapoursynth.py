@@ -38,12 +38,20 @@ THREADING MODEL (why this cannot exhaust the host worker pool):
    clip order (byte-identical to whole-clip processing, exactly like the
    CLI's --window streaming).  Sequential playback — the only access
    pattern under which the mode's semantics are meaningful — advances the
-   chain using prefetched frames only, so points 1-2 apply unchanged.
-   Random access (a seek past or behind the chain) needs source windows
-   the host did not prefetch; those fetches run on the adapter's own
-   dedicated prefetch thread, NEVER on a VapourSynth worker, so they
-   require only that the host can serve one external request stream —
-   the same mechanism an output loop (e.g. vspipe's get_frame) uses.
+   chain using prefetched frames only, so points 1-2 apply unchanged and
+   that path is structurally safe.  Random access (a seek past or behind
+   the chain) needs source windows the host did not prefetch; those
+   fetches run on the adapter's own dedicated prefetch thread, NEVER on
+   a VapourSynth worker — the same external-request mechanism an output
+   loop (e.g. vspipe's get_frame) uses.  Honest residual condition: an
+   external request still needs the host to have at least one worker not
+   currently blocked inside THIS filter's selectors to produce the
+   frame; if a seek storm occupies every worker, the fetch cannot
+   complete.  The adapter therefore bounds the wait
+   (``SANGNOM_VS_FETCH_TIMEOUT`` seconds, default 120) and raises a
+   diagnostic error telling the caller to serialize the seek instead of
+   hanging the process — a hang is structurally impossible, a loud
+   failure under a pathological pattern is not.
 
 Host-side cost of the prefetch design: each source frame is requested
 ``batch`` times by the graph (once per output frame of its window); the
@@ -253,9 +261,13 @@ class _WindowRunner:
         """Source frames of the window at ``start``, fetched through the
         host on the runner's OWN prefetch thread (pool-mode random access
         only — the one path whose inputs the host did not prefetch).
-        Submitting from a VS worker and blocking on the future is safe:
-        the fetch itself consumes no worker, exactly like an external
-        output loop's get_frame."""
+        The fetch consumes no VS worker itself, but PRODUCING the frame
+        does need one free worker upstream (module docstring point 3), so
+        the wait is bounded: a pathological seek storm fails loudly with
+        guidance instead of hanging the host."""
+        import concurrent.futures
+        import os as _os
+
         if self._host_fetch is None:
             raise SangNomError(
                 "SangNom2: pool_compat random access needs a host fetch "
@@ -268,19 +280,33 @@ class _WindowRunner:
         def fetch_range():
             return [self._host_fetch(k) for k in range(start, end)]
 
-        return self._prefetcher.submit(fetch_range).result()
+        timeout = float(_os.environ.get("SANGNOM_VS_FETCH_TIMEOUT", "120"))
+        try:
+            return self._prefetcher.submit(fetch_range).result(
+                timeout=timeout)
+        except concurrent.futures.TimeoutError:
+            raise SangNomError(
+                "SangNom2: pool_compat random-access fetch timed out "
+                f"after {timeout:.0f}s — every host worker appears to be "
+                "blocked inside this filter (seek storm). Serialize the "
+                "seek (request frames in order, or core.num_threads=1 "
+                "for the seek), or raise SANGNOM_VS_FETCH_TIMEOUT."
+            ) from None
 
-    def get(self, n: int, window_frames: list) -> list[np.ndarray]:
+    def get(self, n: int, window_frames_fn) -> list[np.ndarray]:
         """Output planes of frame ``n`` ([h, w] numpy per plane).
-        ``window_frames`` holds {"planes": [...], "parity": bool} for
-        EVERY source frame of ``n``'s window, in order — host-prefetched
-        by the selector's dependency clips."""
+        ``window_frames_fn()`` builds {"planes": [...], "parity": bool}
+        for EVERY source frame of ``n``'s window, in order, from the
+        selector's host-prefetched dependency frames.  It is a CALLABLE
+        so the plane copies (batch full-frame memcpys) happen only on a
+        cache miss — cache hits (batch-1 of every batch sequential
+        requests) skip them entirely."""
         start = (n // self.batch) * self.batch
         if self.pool_compat:
-            return self._get_pool(n, start, window_frames)
-        return self._get_plain(n, start, window_frames)
+            return self._get_pool(n, start, window_frames_fn)
+        return self._get_plain(n, start, window_frames_fn)
 
-    def _get_plain(self, n: int, start: int, window_frames: list):
+    def _get_plain(self, n: int, start: int, window_frames_fn):
         with self._lock:
             if start in self._cache:
                 return self._slice(start, n)
@@ -299,10 +325,10 @@ class _WindowRunner:
                     return self._slice(start, n)
             # evicted between set() and our wake: recompute from our own
             # prefetched frames (never re-enter the host)
-            outs = self._run_window(window_frames)
+            outs = self._run_window(window_frames_fn())
             return [p[n - start] for p in outs]
         try:
-            outs = self._run_window(window_frames)  # no lock held
+            outs = self._run_window(window_frames_fn())  # no lock held
             with self._lock:
                 self._store(start, outs)
         finally:
@@ -311,7 +337,7 @@ class _WindowRunner:
                 ev.set()  # waiters recompute if the store above failed
         return [p[n - start] for p in outs]
 
-    def _get_pool(self, n: int, start: int, window_frames: list):
+    def _get_pool(self, n: int, start: int, window_frames_fn):
         with self._lock:
             if start in self._cache:
                 return self._slice(start, n)
@@ -327,7 +353,7 @@ class _WindowRunner:
                 self._pool_state, self._pool_next = None, 0
             s = self._pool_next
             while s <= start:
-                frames = (window_frames if s == start
+                frames = (window_frames_fn() if s == start
                           else self._fetch_off_worker(s))
                 outs = self._run_window(frames)  # threads _pool_state
                 with self._lock:
@@ -376,16 +402,22 @@ def _wrap(src, params: dict, batch: int, tff: bool | None, legacy: bool):
         fout = f[0].copy()
         start = (n // batch) * batch
         end = min(start + batch, src.num_frames)
-        window_frames = [
-            {
-                "planes": _frame_planes(f[1 + j], fmt.num_planes),
-                "parity": _frame_parity(f[1 + j], start + j, runner.tff),
-            }
-            for j in range(end - start)
-        ]
+
+        def window_frames_fn():
+            # deferred: the batch full-frame plane copies run only when
+            # the runner actually misses its window cache
+            return [
+                {
+                    "planes": _frame_planes(f[1 + j], fmt.num_planes),
+                    "parity": _frame_parity(f[1 + j], start + j,
+                                            runner.tff),
+                }
+                for j in range(end - start)
+            ]
+
         src_frame = f[1 + (n - start)]
 
-        outs = runner.get(n, window_frames)
+        outs = runner.get(n, window_frames_fn)
         for i, plane in enumerate(outs):
             np.asarray(fout[i])[...] = plane
         # propagate the SOURCE frame's props (colorimetry, range,

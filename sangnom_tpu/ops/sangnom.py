@@ -390,12 +390,13 @@ def _maybe_aot(clip, parity, order, aa, aac, dh, luma, chroma, opt,
 
     if not aot.is_configured():
         return None
+    if parity is None:  # non-addressable parity (tracer): keep jit path
+        return None  # (checked BEFORE lookup so STATS never counts a hit
+        #              for a dispatch that actually ran the jit path)
     call = aot.lookup(
         "filter", clip.format.name, aot.plane_shapes(clip.planes),
         aot.filter_statics(order, aa, aac, dh, luma, chroma, opt, numerics))
     if call is None:
-        return None
-    if parity is None:  # non-addressable parity (tracer): keep jit path
         return None
     return call(tuple(clip.planes), jnp.asarray(parity))
 

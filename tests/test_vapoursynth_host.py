@@ -355,7 +355,13 @@ STRESS_TIMEOUT = 120  # generous: CPU-mesh TPU emulation is slow
 
 def _hammer(out_node, order_of_requests, n_threads):
     """Drive the node with parallel out-of-order frame requests; returns
-    {frame_index: planes} and raises on worker error or deadlock."""
+    {frame_index: planes} and raises on worker error or deadlock.
+
+    The executor is NOT used as a context manager: __exit__ would block
+    in shutdown(wait=True) on deadlocked workers, turning the intended
+    TimeoutError into an indefinite test hang.  On timeout the stuck
+    daemon-less threads are abandoned via shutdown(wait=False) and the
+    TimeoutError propagates — the test FAILS instead of hanging."""
     results = {}
     res_lock = threading.Lock()
 
@@ -370,10 +376,13 @@ def _hammer(out_node, order_of_requests, n_threads):
                         np.testing.assert_array_equal(a, b)
                 results[n] = got
 
-    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+    ex = ThreadPoolExecutor(max_workers=n_threads)
+    try:
         futs = [ex.submit(worker, chunk) for chunk in order_of_requests]
         for fu in futs:
             fu.result(timeout=STRESS_TIMEOUT)  # deadlock -> TimeoutError
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
     return results
 
 
