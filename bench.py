@@ -63,7 +63,14 @@ def log(*a):
 # driver record, but the `regression` field makes a real drop impossible
 # to ship silently.  Parity failures still exit nonzero as before.
 
-REGRESSION_TOL = float(os.environ.get("SANGNOM_BENCH_TOLERANCE", "0.10"))
+try:
+    REGRESSION_TOL = float(os.environ.get("SANGNOM_BENCH_TOLERANCE", "0.10"))
+except ValueError:
+    # the gate must never cost a bench run — not even to an env-var typo
+    print("warning: ignoring malformed SANGNOM_BENCH_TOLERANCE "
+          f"{os.environ['SANGNOM_BENCH_TOLERANCE']!r}; using 0.10",
+          file=sys.stderr)
+    REGRESSION_TOL = 0.10
 
 #: throughput keys gated at the top level of the bench JSON
 GATED_KEYS = ("value", "order1_dh_fps", "pool_compat_fps",
@@ -72,8 +79,15 @@ GATED_KEYS = ("value", "order1_dh_fps", "pool_compat_fps",
 
 def flatten_bench(rec: dict) -> dict:
     """Flat {metric: fps} map from one bench JSON (driver records wrap the
-    line under "parsed"; a raw bench line is accepted as-is)."""
-    rec = rec.get("parsed", rec)
+    line under "parsed"; a raw bench line is accepted as-is).  Shape-
+    tolerant: a failed round's record may carry "parsed": null, and the
+    gate must skip it, not crash the bench."""
+    if not isinstance(rec, dict):
+        return {}
+    if "parsed" in rec:
+        rec = rec["parsed"]
+        if not isinstance(rec, dict):
+            return {}
     out = {}
     for k in GATED_KEYS:
         v = rec.get(k)

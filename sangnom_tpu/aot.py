@@ -160,10 +160,17 @@ def save_program(aot_dir, kind: str, fmt, shapes, statics: dict) -> Path:
     # temp path (last rename wins with a complete artifact either way)
     fd, tmp = tempfile.mkstemp(dir=aot_dir, suffix=".tmp")
     try:
-        os.write(fd, blob)
-    finally:
-        os.close(fd)
-    os.replace(tmp, path)
+        try:
+            os.write(fd, blob)
+        finally:
+            os.close(fd)
+        os.replace(tmp, path)
+    except BaseException:
+        try:  # do not leave orphaned temp files next to the artifacts
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return path
 
 

@@ -61,13 +61,7 @@ def _validate(name: str, clip: Clip | None, order: int, aa: int, aac: int,
     its constructor validates only the clip-independent parameters here
     and the clip checks run at call time."""
     if clip is not None:
-        fmt = clip.format
-        if fmt.is_rgb or not fmt.planar:
-            raise SangNomError(f"{name}: clip must be in Y/YUV planar format.")
-        if clip.height % 2 != 0:
-            raise SangNomError(f"{name}: height must be even.")
-        if fmt.is_420 and clip.height % 4:
-            raise SangNomError(f"{name}: height must be mod4.")
+        _validate_geometry(name, clip.format, clip.height)
     if order < 0 or order > 2:
         raise SangNomError(f"{name}: order must be between 0..2.")
     if aa < 0 or aa > 128:
@@ -82,6 +76,18 @@ def _validate(name: str, clip: Clip | None, order: int, aa: int, aac: int,
         # the analogue of the reference's construction-time CPUID gate
         # (src/SangNom2.cpp:420-421 "opt=1 requires SSE2.")
         raise SangNomError(f"{name}: opt=1 requires a TPU backend.")
+
+
+def _validate_geometry(name: str, fmt, height: int) -> None:
+    """The clip-geometry half of the factory validation, callable without
+    a Clip (the prewarm verb validates a geometry it is about to export
+    for) — same single home for the reference error strings."""
+    if fmt.is_rgb or not fmt.planar:
+        raise SangNomError(f"{name}: clip must be in Y/YUV planar format.")
+    if height % 2 != 0:
+        raise SangNomError(f"{name}: height must be even.")
+    if fmt.is_420 and height % 4:
+        raise SangNomError(f"{name}: height must be mod4.")
 
 
 def _validate_numerics(name: str, numerics: str) -> None:

@@ -169,10 +169,13 @@ def main(argv: list[str] | None = None) -> int:
 
     args = build_parser().parse_args(argv)
     _setup_compile_cache(args.cache_dir)
-    if args.aot:
-        from sangnom_tpu import aot
+    # configure UNCONDITIONALLY (None disables): aot config is process-
+    # global, and an in-process host calling main() repeatedly must not
+    # leak one run's --aot directory (or its hit/miss stats) into a later
+    # run that did not ask for it
+    from sangnom_tpu import aot
 
-        aot.configure(args.aot)
+    aot.configure(args.aot or None)
     src = sys.stdin.buffer if args.input == "-" else args.input
     dst = sys.stdout.buffer if args.output == "-" else args.output
 
@@ -566,7 +569,8 @@ def _prewarm_main(argv: list[str]) -> int:
 
     from sangnom_tpu import aot
     from sangnom_tpu.api import (_LEGACY_ORDER_REMAP, SangNomError,
-                                 _validate, _validate_numerics)
+                                 _validate, _validate_geometry,
+                                 _validate_numerics)
     from sangnom_tpu.core.formats import get_format
 
     t0 = time.perf_counter()
@@ -580,10 +584,7 @@ def _prewarm_main(argv: list[str]) -> int:
         fmt = get_format(args.fmt)
         _validate("SangNom2", None, args.order, args.aa, args.aac, args.opt)
         _validate_numerics("SangNom2", args.numerics)
-        if h % 2:
-            raise SangNomError("SangNom2: height must be even.")
-        if fmt.is_420 and h % 4:
-            raise SangNomError("SangNom2: height must be mod4.")
+        _validate_geometry("SangNom2", fmt, h)
 
         def shapes(n):
             return tuple(

@@ -77,7 +77,6 @@ Usage (inside a .vpy script):
 from __future__ import annotations
 
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 import numpy as np
@@ -204,10 +203,16 @@ class _WindowRunner:
         self._order: list[int] = []
         self._lock = threading.Lock()
         self._inflight: dict[int, threading.Event] = {}
-        self._chain = threading.Lock()  # pool_compat: windows run in order
+        # pool_compat chain state (guarded by _cond's lock): windows run
+        # strictly in clip order, one computing thread at a time, with
+        # ORDERED turn-taking across the active requests (lowest window
+        # first) so parallel sequential lookahead consumes only
+        # host-prefetched frames — see _get_pool
+        self._cond = threading.Condition()
+        self._chain_busy = False
+        self._active: dict[int, int] = {}  # window start -> requester count
         self._pool_state = None
         self._pool_next = 0  # next window start the pool chain will compute
-        self._prefetcher = None  # lazy: only random access in pool mode
 
     def _to_clip(self, frames):
         planes = [
@@ -259,39 +264,48 @@ class _WindowRunner:
 
     def _fetch_off_worker(self, start: int) -> list:
         """Source frames of the window at ``start``, fetched through the
-        host on the runner's OWN prefetch thread (pool-mode random access
-        only — the one path whose inputs the host did not prefetch).
-        The fetch consumes no VS worker itself, but PRODUCING the frame
-        does need one free worker upstream (module docstring point 3), so
-        the wait is bounded: a pathological seek storm fails loudly with
-        guidance instead of hanging the host."""
-        import concurrent.futures
+        host on a fresh daemon thread (pool-mode random access only — the
+        one path whose inputs the host did not prefetch).  The fetch
+        consumes no VS worker itself, but PRODUCING the frame does need
+        one free worker upstream (module docstring point 3), so the wait
+        is bounded: a pathological seek storm fails loudly instead of
+        hanging the host.  A per-fetch daemon thread (not a shared
+        executor) means a timed-out fetch can never wedge later fetches
+        behind its abandoned blocked call, and an abandoned thread never
+        blocks interpreter exit."""
         import os as _os
 
         if self._host_fetch is None:
             raise SangNomError(
                 "SangNom2: pool_compat random access needs a host fetch "
                 "path (internal error: adapter wired without one).")
-        if self._prefetcher is None:
-            self._prefetcher = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="sangnom-prefetch")
         end = min(start + self.batch, self.num_frames)
+        box: list = []
+        done = threading.Event()
 
         def fetch_range():
-            return [self._host_fetch(k) for k in range(start, end)]
+            try:
+                box.append([self._host_fetch(k) for k in range(start, end)])
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                box.append(e)
+            finally:
+                done.set()
 
+        threading.Thread(target=fetch_range, name="sangnom-prefetch",
+                         daemon=True).start()
         timeout = float(_os.environ.get("SANGNOM_VS_FETCH_TIMEOUT", "120"))
-        try:
-            return self._prefetcher.submit(fetch_range).result(
-                timeout=timeout)
-        except concurrent.futures.TimeoutError:
+        if not done.wait(timeout):
             raise SangNomError(
                 "SangNom2: pool_compat random-access fetch timed out "
-                f"after {timeout:.0f}s — every host worker appears to be "
-                "blocked inside this filter (seek storm). Serialize the "
-                "seek (request frames in order, or core.num_threads=1 "
-                "for the seek), or raise SANGNOM_VS_FETCH_TIMEOUT."
-            ) from None
+                f"after {timeout:.0f}s — the host could not serve the "
+                "adapter's external frame request (every worker is likely "
+                "blocked inside this filter). Request frames in clip "
+                "order instead of seeking, or raise "
+                "SANGNOM_VS_FETCH_TIMEOUT."
+            )
+        if isinstance(box[0], BaseException):
+            raise box[0]
+        return box[0]
 
     def get(self, n: int, window_frames_fn) -> list[np.ndarray]:
         """Output planes of frame ``n`` ([h, w] numpy per plane).
@@ -338,19 +352,64 @@ class _WindowRunner:
         return [p[n - start] for p in outs]
 
     def _get_pool(self, n: int, start: int, window_frames_fn):
+        """Pool windows run strictly in clip order, one computing thread
+        at a time, with ORDERED turn-taking: among the requests currently
+        inside this method, the lowest window goes first.  Under parallel
+        sequential lookahead (a frame server pipelining requests for
+        frames k, k+1, ...) every window's own requester is active when
+        its turn comes, so the chain advances on host-prefetched frames
+        ONLY — a later-window selector that happens to run first WAITS
+        for its predecessors instead of re-entering the host (the naive
+        first-come-takes-the-chain design would gap-fill via host
+        fetches during plain playback).  Off-worker fetches happen only
+        when the chain's next window has no active requester at all — a
+        genuine seek."""
         with self._lock:
             if start in self._cache:
                 return self._slice(start, n)
-        # Windows run strictly in clip order under _chain.  Sequential
-        # playback always lands in the `gap == empty` case and consumes
-        # only prefetched frames; seeks use the off-worker prefetcher.
-        with self._chain:
-            with self._lock:
-                if start in self._cache:
-                    return self._slice(start, n)
-            if start < self._pool_next:
-                # behind the chain and out of cache: deterministic restart
+        with self._cond:
+            self._active[start] = self._active.get(start, 0) + 1
+            self._cond.notify_all()  # min(active) may have changed
+        try:
+            return self._get_pool_turns(n, start, window_frames_fn)
+        finally:
+            with self._cond:
+                self._active[start] -= 1
+                if not self._active[start]:
+                    del self._active[start]
+                self._cond.notify_all()
+
+    def _get_pool_turns(self, n: int, start: int, window_frames_fn):
+        restart = False
+        with self._cond:
+            while True:
+                with self._lock:
+                    if start in self._cache:
+                        return self._slice(start, n)
+                if not self._chain_busy:
+                    if start == self._pool_next:
+                        break  # my turn: advance on my prefetched frames
+                    if start == min(self._active):
+                        # lowest active request, and it is not the chain's
+                        # next window: either behind (evicted — replay
+                        # 0..start) or a genuine forward seek (gap-fill);
+                        # both consume host fetches only for windows no
+                        # active request can supply.  Deferring to
+                        # min(active) in BOTH cases keeps liveness (the
+                        # minimum is always eligible once the chain
+                        # idles) and minimizes fetches: each lower window
+                        # is served by its own requester's prefetched
+                        # frames first.
+                        restart = start < self._pool_next
+                        break
+                # chain busy, or an earlier active request will take the
+                # turn first: wait (bounded re-check; progress guaranteed
+                # — min(active) is always eligible once the chain idles)
+                self._cond.wait(timeout=0.5)
+            self._chain_busy = True
+            if restart:
                 self._pool_state, self._pool_next = None, 0
+        try:
             s = self._pool_next
             while s <= start:
                 frames = (window_frames_fn() if s == start
@@ -358,9 +417,14 @@ class _WindowRunner:
                 outs = self._run_window(frames)  # threads _pool_state
                 with self._lock:
                     self._store(s, outs)
-                self._pool_next = s = s + self.batch
-            with self._lock:
-                return self._slice(start, n)
+                with self._cond:
+                    self._pool_next = s = s + self.batch
+        finally:
+            with self._cond:
+                self._chain_busy = False
+                self._cond.notify_all()
+        with self._lock:
+            return self._slice(start, n)
 
 
 def _wrap(src, params: dict, batch: int, tff: bool | None, legacy: bool):

@@ -461,13 +461,28 @@ def test_stress_pool_compat_parallel(rng, monkeypatch):
 def test_stress_pool_compat_sequential_parallel_lookahead(rng, monkeypatch):
     """The designed pool use: sequential playback with parallel lookahead
     (each thread walks forward from a small offset, like a frame server's
-    request pipeline).  Byte-identical, zero nested fetches."""
+    request pipeline).  Byte-identical, zero nested fetches — AND zero
+    off-worker fetches: the ordered turn-taking means a later-window
+    selector that runs first WAITS for its in-flight predecessors
+    instead of re-fetching their windows through the host (the round-5
+    review's confirmed hazard in the first-come-takes-the-chain
+    design)."""
     vs = _install_mock(monkeypatch)
-    from sangnom_tpu.hosts.vapoursynth import SangNom2
+    import sangnom_tpu.hosts.vapoursynth as host
+
+    off_worker = []
+    orig_fetch = host._WindowRunner._fetch_off_worker
+
+    def counting_fetch(self, start):
+        off_worker.append(start)
+        return orig_fetch(self, start)
+
+    monkeypatch.setattr(host._WindowRunner, "_fetch_off_worker",
+                        counting_fetch)
 
     N = 12
     node, stacked = _src_node(vs, rng, n=N)
-    out = SangNom2(node, order=1, opt=0, batch=4, pool_compat=True)
+    out = host.SangNom2(node, order=1, opt=0, batch=4, pool_compat=True)
     want = sangnom2(Clip.from_numpy(stacked, "YUV420P8"),
                     order=1, opt=0, pool_compat=True)
 
@@ -479,3 +494,6 @@ def test_stress_pool_compat_sequential_parallel_lookahead(rng, monkeypatch):
                 results[n][i], np.asarray(want.planes[i])[n],
                 err_msg=f"frame {n} plane {i}")
     assert node.nested_fetches == 0
+    assert off_worker == [], (
+        f"sequential parallel lookahead re-entered the host for windows "
+        f"{off_worker}")
