@@ -54,12 +54,16 @@ def _opt1_backend_ok() -> bool:
 
 
 def _validate(name: str, clip: Clip | None, order: int, aa: int, aac: int,
-              opt: int) -> None:
+              opt: int, opt1_ok: bool | None = None) -> None:
     """The one home of the reference factories' validation rules and exact
     error strings (src/SangNom2.cpp:407-422 / 446-459).  ``clip=None``
     skips the clip-dependent checks — SangNom2Filter binds clips late, so
     its constructor validates only the clip-independent parameters here
-    and the clip checks run at call time."""
+    and the clip checks run at call time.  ``opt1_ok`` overrides the
+    opt=1 backend gate's probe (the AviSynth-model host adapter consults
+    the host environment's CPU-flags analogue, the way the reference
+    factory consults env->GetCPUFlags, src/SangNom2.cpp:422); ``None``
+    means probe the process directly."""
     if clip is not None:
         _validate_geometry(name, clip.format, clip.height)
     if order < 0 or order > 2:
@@ -72,7 +76,7 @@ def _validate(name: str, clip: Clip | None, order: int, aa: int, aac: int,
         # error string replicated verbatim from the reference, including its
         # off-by-one upper bound (src/SangNom2.cpp:419-420)
         raise SangNomError(f"{name}: opt must be between -1..2.")
-    if opt == 1 and not _opt1_backend_ok():
+    if opt == 1 and not (_opt1_backend_ok() if opt1_ok is None else opt1_ok):
         # the analogue of the reference's construction-time CPUID gate
         # (src/SangNom2.cpp:420-421 "opt=1 requires SSE2.")
         raise SangNomError(f"{name}: opt=1 requires a TPU backend.")

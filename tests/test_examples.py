@@ -53,6 +53,7 @@ def _run(script, argv):
         ("antialias_2x.py", 2, 1),
         ("bob_double_rate.py", 1, 2),
         ("reference_compat.py", 1, 1),
+        ("avisynth_host.py", 2, 1),
     ],
 )
 def test_file_examples(tiny_y4m, tmp_path, script, height_mul, frames_mul):
