@@ -466,12 +466,164 @@ def avisynth_plugin_init(env) -> str:
     """The AvisynthPluginInit3 analogue: register both script functions
     with the reference's verbatim signature strings (plus the framework's
     named-only extension args) and return the plugin identifier
-    (reference src/SangNom2.cpp:477-484)."""
+    (reference src/SangNom2.cpp:477-484).  Also registers the host
+    built-ins the reference's recipes depend on (`avisynth_builtin_init`)
+    — a real AviSynth host ships those itself."""
     env.add_function("SangNom2", SIG_SANGNOM2 + SIG_EXTENSIONS,
                      Create_SangNom2, 0)
     env.add_function("SangNom", SIG_SANGNOM + SIG_EXTENSIONS,
                      Create_SangNom, 0)
+    avisynth_builtin_init(env)
     return "SangNom2"
+
+
+# --- host built-ins the reference's recipes depend on ----------------------
+#
+# The reference's double-rate mode documents "user must call
+# std.SeparateFields().std.DoubleWeave() before use" (reference
+# src/SangNom2.cpp:18-23), and the classic bob recipe wraps that in
+# AssumeTFF/SelectEven-style bookkeeping.  A real AviSynth host ships these
+# built-ins; this protocol host ships them too (lazy per-frame numpy row
+# shuffles — no TPU involvement), with the same field semantics as the
+# batched core helpers (core/fields.py), so the canonical script
+#     AssumeTFF().SeparateFields().DoubleWeave().SangNom2(order=0)
+# is value-identical to the core `bob()` fast path.
+
+class _ChainClip:
+    """A lazy chain filter over the clip protocol: callables supply the
+    frame mapping and parity so each built-in stays a few lines."""
+
+    def __init__(self, child, vi, frame_fn, parity_fn):
+        self.child = child
+        self._vi = vi
+        self._frame_fn = frame_fn
+        self._parity_fn = parity_fn
+
+    def get_video_info(self) -> VideoInfo:
+        return self._vi
+
+    def get_parity(self, n: int) -> bool:
+        return self._parity_fn(n)
+
+    def get_frame(self, n: int, env=None) -> VideoFrame:
+        n = min(max(n, 0), self._vi.num_frames - 1)
+        return self._frame_fn(n, env)
+
+    def set_cache_hints(self, cachehints: int, frame_range: int = 0) -> int:
+        return MT_NICE_FILTER if cachehints == CACHE_GET_MTMODE else 0
+
+
+def _assume_parity(args: AVSArgs, tff: bool, env) -> _ChainClip:
+    child = args[0].as_clip()
+    vi = child.get_video_info()
+    return _ChainClip(child, vi,
+                      lambda n, e: child.get_frame(n, e),
+                      lambda n: tff)
+
+
+def _separate_fields(args: AVSArgs, user_data, env) -> _ChainClip:
+    """Frame k -> field frames (2k, 2k+1) in dominance order: the first
+    field of a TFF frame is the top field (rows 0::2).  Output parity
+    marks top fields True — the alternation order=0 consumes (same
+    layout as core/fields.separate_fields)."""
+    child = args[0].as_clip()
+    vi = child.get_video_info()
+    if vi.height % 2:
+        env.throw_error("SeparateFields: height must be even.")
+    out_vi = VideoInfo(vi.format, vi.width, vi.height // 2,
+                       vi.num_frames * 2, vi.fps_numerator * 2,
+                       vi.fps_denominator)
+
+    def frame(n, e):
+        src = child.get_frame(n // 2, e)
+        top_first = bool(child.get_parity(n // 2))
+        want_top = (n % 2 == 0) == top_first
+        off = 0 if want_top else 1
+        return VideoFrame([p[off::2].copy() for p in src.planes],
+                          src.props)
+
+    def parity(n):
+        return (n % 2 == 0) == bool(child.get_parity(n // 2))
+
+    return _ChainClip(child, out_vi, frame, parity)
+
+
+def _weave_frames(first: VideoFrame, second: VideoFrame,
+                  first_is_top: bool) -> list[np.ndarray]:
+    out = []
+    for a, b in zip(first.planes, second.planes):
+        h, w = a.shape
+        p = np.empty((2 * h, w), a.dtype)
+        p[0::2], p[1::2] = (a, b) if first_is_top else (b, a)
+        out.append(p)
+    return out
+
+
+def _double_weave(args: AVSArgs, user_data, env) -> _ChainClip:
+    """Field frames -> same-count full-height frames: frame n weaves
+    fields (n, n+1) by field n's parity; the last frame weaves (N-1, N-1)
+    degenerately (core/fields.double_weave's final duplicated pairing)."""
+    child = args[0].as_clip()
+    vi = child.get_video_info()
+    out_vi = VideoInfo(vi.format, vi.width, vi.height * 2, vi.num_frames,
+                       vi.fps_numerator, vi.fps_denominator)
+
+    def frame(n, e):
+        a = child.get_frame(n, e)
+        b = child.get_frame(min(n + 1, vi.num_frames - 1), e)
+        return VideoFrame(
+            _weave_frames(a, b, bool(child.get_parity(n))), a.props)
+
+    return _ChainClip(child, out_vi, frame, child.get_parity)
+
+
+def _weave(args: AVSArgs, user_data, env) -> _ChainClip:
+    """Inverse of SeparateFields: field pairs (2k, 2k+1) -> full frames."""
+    child = args[0].as_clip()
+    vi = child.get_video_info()
+    if vi.num_frames % 2:
+        env.throw_error("Weave: field count must be even.")
+    out_vi = VideoInfo(vi.format, vi.width, vi.height * 2,
+                       vi.num_frames // 2, vi.fps_numerator,
+                       vi.fps_denominator * 2)
+    # keep fps ratio: fields at 2x rate weave back to 1x
+
+    def frame(k, e):
+        a = child.get_frame(2 * k, e)
+        b = child.get_frame(2 * k + 1, e)
+        return VideoFrame(
+            _weave_frames(a, b, bool(child.get_parity(2 * k))), a.props)
+
+    return _ChainClip(child, out_vi, frame,
+                      lambda k: bool(child.get_parity(2 * k)))
+
+
+def _select_stride(args: AVSArgs, odd: bool, env) -> _ChainClip:
+    child = args[0].as_clip()
+    vi = child.get_video_info()
+    count = vi.num_frames // 2 if odd else (vi.num_frames + 1) // 2
+    out_vi = VideoInfo(vi.format, vi.width, vi.height, max(count, 1),
+                       vi.fps_numerator, vi.fps_denominator)
+    base = 1 if odd else 0
+    return _ChainClip(child, out_vi,
+                      lambda n, e: child.get_frame(2 * n + base, e),
+                      lambda n: bool(child.get_parity(2 * n + base)))
+
+
+def avisynth_builtin_init(env) -> None:
+    """Register the field-bookkeeping built-ins the plugin's recipes use
+    (all signature "c", as in AviSynth)."""
+    env.add_function("AssumeTFF", "c",
+                     lambda a, u, e: _assume_parity(a, True, e))
+    env.add_function("AssumeBFF", "c",
+                     lambda a, u, e: _assume_parity(a, False, e))
+    env.add_function("SeparateFields", "c", _separate_fields)
+    env.add_function("DoubleWeave", "c", _double_weave)
+    env.add_function("Weave", "c", _weave)
+    env.add_function("SelectEven", "c",
+                     lambda a, u, e: _select_stride(a, False, e))
+    env.add_function("SelectOdd", "c",
+                     lambda a, u, e: _select_stride(a, True, e))
 
 
 class ScriptEnvironment:

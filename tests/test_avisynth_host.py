@@ -275,3 +275,68 @@ def test_stress_multi_instance_model(rng):
         for got, order in ex.map(one_instance, range(4)):
             for p, n in zip(got, order):
                 np.testing.assert_array_equal(p, refp[n])
+
+
+# --- host built-ins + the canonical double-rate recipe ----------------------
+
+def test_separate_weave_round_trip(rng):
+    planes = _stacked(rng, n=4, fmt_name="YUV420P8")
+    env = _env()
+    for assume in ("AssumeTFF", "AssumeBFF"):
+        src = env.invoke(assume, ArraySource(planes, "YUV420P8"))
+        flds = env.invoke("SeparateFields", src)
+        vi = flds.get_video_info()
+        assert vi.num_frames == 8 and vi.height == 8
+        # parity alternates starting at the dominance
+        tff = assume == "AssumeTFF"
+        assert [flds.get_parity(k) for k in range(4)] == [tff, not tff] * 2
+        back = env.invoke("Weave", flds)
+        got = _collect(back, env)
+        for g, p in zip(got, planes):
+            np.testing.assert_array_equal(g, p)
+
+
+def test_select_even_odd(rng):
+    planes = _stacked(rng, n=5, fmt_name="GRAY8")
+    env = _env()
+    src = ArraySource(planes, "GRAY8")
+    ev = env.invoke("SelectEven", src)
+    od = env.invoke("SelectOdd", src)
+    assert ev.get_video_info().num_frames == 3
+    assert od.get_video_info().num_frames == 2
+    np.testing.assert_array_equal(_collect(ev, env)[0], planes[0][0::2])
+    np.testing.assert_array_equal(_collect(od, env)[0], planes[0][1::2])
+
+
+def test_separate_fields_height_error(rng):
+    env = _env()
+    src = ArraySource([p[:, :7] for p in _stacked(rng, fmt_name="GRAY8",
+                                                  h=16)], "GRAY8")
+    with pytest.raises(AvisynthError, match="SeparateFields: height"):
+        env.invoke("SeparateFields", src)
+
+
+@pytest.mark.parametrize("assume", ["AssumeTFF", "AssumeBFF"])
+def test_canonical_bob_recipe_matches_core_bob(rng, assume):
+    """The reference's documented double-rate recipe (src/SangNom2.cpp:
+    18-23), run verbatim through the script environment, must equal the
+    core bob() fast path bit for bit."""
+    from sangnom_tpu.core.fields import bob
+
+    planes = _stacked(rng, n=3, fmt_name="YUV420P8")
+    env = _env()
+    chain = env.invoke("SangNom2",
+                       env.invoke("DoubleWeave",
+                                  env.invoke("SeparateFields",
+                                             env.invoke(assume,
+                                                        ArraySource(
+                                                            planes,
+                                                            "YUV420P8")))),
+                       order=0, batch=4)
+    vi = chain.get_video_info()
+    assert vi.num_frames == 6 and vi.height == 16
+    got = _collect(chain, env)
+    ref = bob(Clip.from_numpy(planes, "YUV420P8"),
+              tff=(assume == "AssumeTFF"))
+    for g, r in zip(got, ref.planes):
+        np.testing.assert_array_equal(g, np.asarray(r))
