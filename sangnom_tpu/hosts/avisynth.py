@@ -176,11 +176,14 @@ def parse_signature(sig: str) -> list[tuple[Optional[str], str]]:
     return out
 
 
+_BOOLS = (bool, np.bool_)
+_INTS = (int, np.integer)
 _TYPE_CHECK: dict[str, Callable[[Any], bool]] = {
     "c": lambda v: hasattr(v, "get_video_info") and hasattr(v, "get_frame"),
-    "i": lambda v: isinstance(v, int) and not isinstance(v, bool),
-    "b": lambda v: isinstance(v, bool),
-    "f": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+    "i": lambda v: isinstance(v, _INTS) and not isinstance(v, _BOOLS),
+    "b": lambda v: isinstance(v, _BOOLS),
+    "f": lambda v: (isinstance(v, (float, np.floating) + _INTS)
+                    and not isinstance(v, _BOOLS)),
     "s": lambda v: isinstance(v, str),
 }
 

@@ -15,7 +15,6 @@ import pytest
 
 from conftest import make_planes
 from sangnom_tpu import Clip, get_format, sangnom, sangnom2
-from sangnom_tpu.hosts import avisynth as avs
 from sangnom_tpu.hosts.avisynth import (
     CACHE_GET_MTMODE, CPUF_TPU, MT_MULTI_INSTANCE, MT_SERIALIZED,
     SIG_SANGNOM, SIG_SANGNOM2, ArraySource, AvisynthError,
@@ -80,6 +79,9 @@ def test_bind_positional_named_and_errors(rng):
         bind_args(sig, (src,), {"dh": 1})  # b is strictly bool
     with pytest.raises(AvisynthError, match="too many"):
         bind_args(SIG_SANGNOM, (src, 1, 48, 0, 99), {})
+    # numpy scalars bind like script ints/bools (array-driven hosts)
+    np_args = bind_args(sig, (src, np.int64(2)), {"dh": np.True_})
+    assert np_args[1].as_int(1) == 2 and np_args[5].as_bool(False) is True
     # args array OOB raises (documented-surface stance on the reference's
     # legacy OOB reads, docs/PARITY.md deviation 2)
     with pytest.raises(AvisynthError, match="out of range"):
