@@ -14,6 +14,10 @@ hosts this framework can reach:
     binding, Create_ factories erroring through env.throw_error,
     GetFrame/GetParity serving, SetCacheHints MT contract
     (src/SangNom2.cpp:399-484, src/SangNom2.h:61-66).
+  * `sangnom_tpu.hosts.avs_script` — evaluates AviSynth script TEXT (the
+    plugin's usage subset: implicit `last`, OOP chaining, named args)
+    against a ScriptEnvironment, so existing .avs recipe lines run
+    unmodified.
   * `sangnom_tpu.hosts.window` — the shared host-agnostic windowed
     TPU-batching runner both adapters serve frames through.
   * the in-process CLI host (`sangnom_tpu.cli`) and the plain registry
