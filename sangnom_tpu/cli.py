@@ -12,6 +12,7 @@ Reads/writes YUV4MPEG2 on files or stdin/stdout ("-").
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 import time
@@ -166,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
     _honor_jax_platforms()
     if argv and argv[0] == "prewarm":
         return _prewarm_main(argv[1:])
+    if argv and argv[0] == "script":
+        return _script_main(argv[1:])
 
     args = build_parser().parse_args(argv)
     _setup_compile_cache(args.cache_dir)
@@ -641,6 +644,89 @@ def _prewarm_main(argv: list[str]) -> int:
     print(
         f"prewarmed {len(jobs)} program(s) for {args.fmt} {w}x{h} into "
         f"{args.aot} in {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _script_main(argv: list[str]) -> int:
+    """``sangnom-tpu script``: run an AviSynth recipe file over a y4m
+    stream through the script host (hosts/avs_script.py) — existing .avs
+    lines drive the TPU filter unmodified.  Frames are served through the
+    chain's windowed TPU batching; the output frame rate scales with the
+    recipe's frame-count ratio (e.g. the double-rate bob recipe doubles
+    it) unless --fps pins it."""
+    p = argparse.ArgumentParser(
+        prog="sangnom-tpu script",
+        description="Evaluate an AviSynth script file (the plugin's usage "
+        "subset: SangNom2/SangNom, AssumeTFF/BFF, SeparateFields, "
+        "DoubleWeave, Weave, SelectEven/Odd, implicit last, chaining) "
+        "over a y4m input.",
+    )
+    p.add_argument("recipe", help=".avs script file ('-' for stdin is NOT "
+                   "supported here: stdin carries the video)")
+    p.add_argument("input", help="input .y4m ('-' for stdin)")
+    p.add_argument("output", help="output .y4m ('-' for stdout)")
+    p.add_argument("--frames", type=int, default=None,
+                   help="process at most N input frames")
+    p.add_argument("--fps", default=None, metavar="N:D",
+                   help="force the OUTPUT frame rate")
+    p.add_argument("--tff", dest="tff", action="store_true", default=None,
+                   help="override the stream's field dominance")
+    p.add_argument("--bff", dest="tff", action="store_false")
+    p.add_argument("--cache-dir", default=None,
+                   help="persistent XLA compile cache directory "
+                   "(default on under the XDG cache path on TPU)")
+    args = p.parse_args(argv)
+    _setup_compile_cache(args.cache_dir)
+
+    from sangnom_tpu import Clip
+    from sangnom_tpu.api import SangNomError
+    from sangnom_tpu.hosts.avisynth import (ArraySource, ScriptEnvironment,
+                                            avisynth_plugin_init)
+    from sangnom_tpu.hosts.avs_script import eval_script
+
+    t0 = time.perf_counter()
+    try:
+        with open(args.recipe, "r", encoding="utf-8") as fh:
+            text = fh.read()
+        src_stream = sys.stdin.buffer if args.input == "-" else args.input
+        clip = read_y4m(src_stream, max_frames=args.frames)
+        tff = clip.tff if args.tff is None else args.tff
+        src = ArraySource([np.asarray(pl) for pl in clip.planes],
+                          clip.format, parity=tff)
+        env = ScriptEnvironment()
+        avisynth_plugin_init(env)
+        result = eval_script(env, text, last=src)
+        if not hasattr(result, "get_video_info"):
+            raise SangNomError(
+                f"script result is not a clip (got {type(result).__name__})")
+        vi = result.get_video_info()
+        frames = [result.get_frame(n, env) for n in range(vi.num_frames)]
+        planes = [np.stack([fr.planes[i] for fr in frames])
+                  for i in range(vi.num_components())]
+        out = Clip.from_numpy(planes, vi.format, props=clip.props)
+        if args.fps is not None:
+            num, den = (int(x) for x in args.fps.split(":"))
+            if den <= 0 or num <= 0:
+                raise ValueError(f"invalid --fps {args.fps!r}")
+            fps = (num, den)
+        else:
+            num, den = clip.props.get("y4m_fps", (25, 1))
+            # scale by the recipe's frame-count ratio (bob 2x, SelectEven
+            # 0.5x, ...) and reduce
+            num, den = num * vi.num_frames, den * clip.num_frames
+            g = math.gcd(num, den)
+            fps = (num // g, den // g)
+        dst = sys.stdout.buffer if args.output == "-" else args.output
+        write_y4m(dst, out, fps=fps)
+    except (SangNomError, ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(
+        f"script {args.recipe}: {clip.num_frames} frames "
+        f"{clip.width}x{clip.height} -> {vi.num_frames} frames "
+        f"{vi.width}x{vi.height} in {time.perf_counter() - t0:.2f}s",
         file=sys.stderr,
     )
     return 0

@@ -110,3 +110,30 @@ def test_string_and_numeric_literals(rng):
                    numerics="sse2")
     for g, r in zip(got, ref.planes):
         np.testing.assert_array_equal(g, np.asarray(r))
+
+
+def test_cli_script_verb_runs_recipe(rng, tmp_path):
+    """sangnom-tpu script RECIPE in.y4m out.y4m == core bob, fps doubled."""
+    from sangnom_tpu.cli import main
+    from sangnom_tpu.io import read_y4m, write_y4m
+
+    fmt = get_format("YUV420P8")
+    frames = [make_planes(rng, 32, 16, fmt) for _ in range(3)]
+    planes = [np.stack([fr[i] for fr in frames]) for i in range(3)]
+    src_path = str(tmp_path / "in.y4m")
+    write_y4m(src_path, Clip.from_numpy(planes, fmt), fps=(30, 1))
+    recipe = tmp_path / "bob.avs"
+    recipe.write_text(
+        "AssumeTFF()\nSeparateFields()\nDoubleWeave()\nSangNom2(order=0)\n")
+    out_path = str(tmp_path / "out.y4m")
+    assert main(["script", str(recipe), src_path, out_path]) == 0
+    got = read_y4m(out_path)
+    assert got.num_frames == 6 and got.height == 16
+    assert got.props.get("y4m_fps") == (60, 1)  # frame-count-scaled
+    ref = bob(Clip.from_numpy(planes, fmt), tff=True)
+    for g, r in zip(got.planes, ref.planes):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    # error surface: a non-clip result fails loudly
+    bad = tmp_path / "bad.avs"
+    bad.write_text("x = 3\nreturn x\n")
+    assert main(["script", str(bad), src_path, out_path]) == 2
