@@ -47,7 +47,7 @@ _TOKEN = re.compile(r"""
       | (?P<float>\d+\.\d+)
       | (?P<int>\d+)
       | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op>[().,=])
+      | (?P<op>[().,=-])
     )""", re.VERBOSE)
 
 _BOOL_WORDS = {"true": True, "yes": True, "false": False, "no": False}
@@ -127,6 +127,16 @@ class _Parser:
 
     def atom(self):
         kind, val = self.take()
+        if (kind, val) == ("op", "-"):
+            # unary minus on a numeric literal (e.g. opt=-1); general
+            # arithmetic stays outside the subset
+            nkind, nval = self.take()
+            if nkind != "num":
+                raise AvisynthError(
+                    f"script line {self.lineno}: '-' is only supported "
+                    "as a numeric sign (operators are outside the "
+                    "supported subset)")
+            return -nval
         if kind in ("num", "str", "bool"):
             return val
         if kind == "name":

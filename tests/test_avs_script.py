@@ -137,3 +137,14 @@ def test_cli_script_verb_runs_recipe(rng, tmp_path):
     bad = tmp_path / "bad.avs"
     bad.write_text("x = 3\nreturn x\n")
     assert main(["script", str(bad), src_path, out_path]) == 2
+
+
+def test_negative_literal_and_minus_guard(rng):
+    env = _env()
+    src, planes = _src(rng, n=2, fmt_name="GRAY8")
+    out = eval_script(env, "SangNom2(opt=-1, order=1)", last=src)
+    got = _collect(out, env)
+    ref = sangnom2(Clip.from_numpy(planes, "GRAY8"), opt=-1, order=1)
+    np.testing.assert_array_equal(got[0], np.asarray(ref.planes[0]))
+    with pytest.raises(AvisynthError, match="numeric sign"):
+        eval_script(env, "SangNom2(order=-true)", last=src)
