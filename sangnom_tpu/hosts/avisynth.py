@@ -601,6 +601,31 @@ def _weave(args: AVSArgs, user_data, env) -> _ChainClip:
                       lambda k: bool(child.get_parity(2 * k)))
 
 
+def _trim(args: AVSArgs, user_data, env) -> _ChainClip:
+    """AviSynth Trim(c, first, last): ``last=0`` keeps to the end,
+    ``last>0`` is the inclusive last frame index, ``last=-count`` keeps
+    ``count`` frames from ``first``."""
+    child = args[0].as_clip()
+    vi = child.get_video_info()
+    first = args[1].as_int(0)
+    last = args[2].as_int(0)
+    if not 0 <= first < vi.num_frames:
+        env.throw_error(f"Trim: first frame {first} out of range.")
+    if last == 0:
+        count = vi.num_frames - first
+    elif last > 0:
+        count = last - first + 1
+    else:
+        count = -last
+    if count < 1 or first + count > vi.num_frames:
+        env.throw_error(f"Trim: invalid range (first={first}, last={last}).")
+    out_vi = VideoInfo(vi.format, vi.width, vi.height, count,
+                       vi.fps_numerator, vi.fps_denominator)
+    return _ChainClip(child, out_vi,
+                      lambda n, e: child.get_frame(first + n, e),
+                      lambda n: bool(child.get_parity(first + n)))
+
+
 def _select_stride(args: AVSArgs, odd: bool, env) -> _ChainClip:
     child = args[0].as_clip()
     vi = child.get_video_info()
@@ -627,6 +652,7 @@ def avisynth_builtin_init(env) -> None:
                      lambda a, u, e: _select_stride(a, False, e))
     env.add_function("SelectOdd", "c",
                      lambda a, u, e: _select_stride(a, True, e))
+    env.add_function("Trim", "c[first]i[last]i", _trim)
 
 
 class ScriptEnvironment:
@@ -645,6 +671,9 @@ class ScriptEnvironment:
 
     def function_signature(self, name: str) -> str:
         return self._functions[name.lower()][0]
+
+    def function_exists(self, name: str) -> bool:
+        return name.lower() in self._functions
 
     def invoke(self, name: str, *args, **named):
         """Call a registered function AviSynth-script-style (function

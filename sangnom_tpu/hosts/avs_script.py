@@ -195,12 +195,11 @@ class ScriptEvaluator:
             f"script line {lineno}: I don't know what {name!r} means")
 
     def invoke(self, name, pos, named, receiver, has_receiver, lineno):
-        entry = self.env._functions.get(name)
-        if entry is None:
+        if not self.env.function_exists(name):
             raise AvisynthError(
                 f"script line {lineno}: there is no function named "
                 f"{name!r}")
-        signature = entry[0]
+        signature = self.env.function_signature(name)
         if has_receiver:
             pos = [receiver] + pos
         else:

@@ -342,3 +342,22 @@ def test_canonical_bob_recipe_matches_core_bob(rng, assume):
               tff=(assume == "AssumeTFF"))
     for g, r in zip(got, ref.planes):
         np.testing.assert_array_equal(g, np.asarray(r))
+
+
+def test_trim_builtin(rng):
+    planes = _stacked(rng, n=6, fmt_name="GRAY8")
+    env = _env()
+    src = ArraySource(planes, "GRAY8",
+                      parity=np.array([True, False] * 3))
+    t = env.invoke("Trim", src, 2, 4)        # inclusive last index
+    assert t.get_video_info().num_frames == 3
+    np.testing.assert_array_equal(_collect(t, env)[0], planes[0][2:5])
+    assert t.get_parity(0) == src.get_parity(2)
+    t0 = env.invoke("Trim", src, first=4)    # last=0 -> to end
+    assert t0.get_video_info().num_frames == 2
+    tn = env.invoke("Trim", src, 1, -2)      # negative last = count
+    np.testing.assert_array_equal(_collect(tn, env)[0], planes[0][1:3])
+    with pytest.raises(AvisynthError, match="Trim: first frame"):
+        env.invoke("Trim", src, 99)
+    with pytest.raises(AvisynthError, match="Trim: invalid range"):
+        env.invoke("Trim", src, 4, 2)
